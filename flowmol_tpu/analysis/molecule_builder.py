@@ -1,0 +1,208 @@
+"""SampledMolecule: sampled tensors -> molecule object (+ optional RDKit mol).
+
+Parity target: /root/reference/flowmol/analysis/molecule_builder.py
+(`SampledMolecule` 17-128, `extract_moldata_from_graph` 217-265,
+`build_molecule` 268-297, `compute_valencies` 135-154).
+
+Design deltas: inputs are the padded dense arrays the TPU sampler emits
+(positions + integer tokens + symmetric bond matrix) instead of a DGL graph;
+RDKit is an *optional* dependency — all structural logic (valencies,
+connectivity, fragment stats) is pure numpy so the analysis suite runs in
+RDKit-less environments, with RDKit-specific functionality gated.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from rdkit import Chem
+    from rdkit.Geometry import Point3D
+    HAVE_RDKIT = True
+except Exception:  # pragma: no cover
+    Chem = None
+    HAVE_RDKIT = False
+
+# bond token -> RDKit bond type index convention of the reference
+# (molecule_builder.py:10-14): 0 none, 1 single, 2 double, 3 triple,
+# 4 aromatic, 5 mask (treated as none)
+BOND_ORDER = np.array([0.0, 1.0, 2.0, 3.0, 1.5, 0.0])
+
+
+class SampledMolecule:
+    """One sampled molecule.
+
+    positions: (n, 3); atom_tokens: (n,) int into atom_type_map (+fake,+mask);
+    charge_tokens: (n,) int in [0, 5] (charge = token - 2);
+    bonds: (n, n) int symmetric bond-type matrix (0 = no bond).
+    """
+
+    def __init__(self, positions: np.ndarray, atom_tokens: np.ndarray,
+                 charge_tokens: np.ndarray, bonds: np.ndarray,
+                 atom_type_map: Sequence[str], ctmc_mol: bool = True,
+                 fake_atoms: bool = False, explicit_aromaticity: bool = False,
+                 traj_frames: Optional[Dict[str, np.ndarray]] = None):
+        atom_type_map = list(atom_type_map)
+        if fake_atoms:
+            atom_type_map.append("Sn")  # fake atoms decode as tin
+        if ctmc_mol:
+            atom_type_map.append("Se")  # mask tokens decode as selenium
+        self.atom_type_map = atom_type_map
+        self.ctmc_mol = ctmc_mol
+        self.fake_atoms = fake_atoms
+        self.explicit_aromaticity = explicit_aromaticity
+        self.traj_frames = traj_frames
+
+        positions = np.asarray(positions, np.float64)
+        atom_tokens = np.asarray(atom_tokens, np.int64)
+        charge_tokens = np.asarray(charge_tokens, np.int64)
+        bonds = np.asarray(bonds, np.int64)
+
+        # strip fake atoms (molecule_builder.py:227-231)
+        if fake_atoms:
+            fake_idx = len(atom_type_map) - 2
+            keep = atom_tokens != fake_idx
+            positions = positions[keep]
+            atom_tokens = atom_tokens[keep]
+            charge_tokens = charge_tokens[keep]
+            bonds = bonds[np.ix_(keep, keep)]
+
+        # masked bonds -> no bond (molecule_builder.py:249-250)
+        mask_bond = 5 if explicit_aromaticity else 4
+        bonds = np.where(bonds == mask_bond, 0, bonds)
+
+        self.positions = positions
+        self.atom_tokens = atom_tokens
+        self.atom_types = [atom_type_map[t] for t in atom_tokens]
+        self.atom_charges = charge_tokens - 2
+        self.bonds = bonds
+        self.num_atoms = positions.shape[0]
+
+        iu, ju = np.triu_indices(self.num_atoms, 1)
+        nz = bonds[iu, ju] != 0
+        self.bond_src_idxs = iu[nz]
+        self.bond_dst_idxs = ju[nz]
+        self.bond_types = bonds[iu, ju][nz]
+
+        self.valencies = self.compute_valencies(
+            arom_dependent=explicit_aromaticity)
+        self._rdkit_mol = None
+
+    # ------------------------------------------------------------- structure
+    def compute_valencies(self, arom_dependent: bool = False) -> np.ndarray:
+        """Sum of bond orders per atom; aromatic counts 1.5.  With explicit
+        aromaticity, returns (n, 2) [n_aromatic, non-aromatic valence]
+        (molecule_builder.py:135-154)."""
+        order = BOND_ORDER[np.clip(self.bonds, 0, 5)]
+        val = order.sum(-1)
+        if arom_dependent:
+            n_arom = (order == 1.5).sum(-1)
+            non_arom = (val - n_arom * 1.5).astype(np.int64)
+            return np.stack([n_arom, non_arom], 1)
+        return val
+
+    def connected_components(self) -> np.ndarray:
+        """Label array (n,) of connected components (pure numpy BFS)."""
+        n = self.num_atoms
+        labels = np.full(n, -1, np.int64)
+        adj = self.bonds > 0
+        comp = 0
+        for start in range(n):
+            if labels[start] >= 0:
+                continue
+            stack = [start]
+            labels[start] = comp
+            while stack:
+                i = stack.pop()
+                for j in np.nonzero(adj[i] & (labels < 0))[0]:
+                    labels[j] = comp
+                    stack.append(j)
+            comp += 1
+        return labels
+
+    @property
+    def num_components(self) -> int:
+        if self.num_atoms == 0:
+            return 0
+        return int(self.connected_components().max()) + 1
+
+    @property
+    def largest_frag_frac(self) -> float:
+        if self.num_atoms == 0:
+            return 0.0
+        labels = self.connected_components()
+        counts = np.bincount(labels)
+        return float(counts.max()) / self.num_atoms
+
+    # ---------------------------------------------------------------- RDKit
+    @property
+    def rdkit_mol(self):
+        if self._rdkit_mol is None:
+            self._rdkit_mol = self.build_molecule()
+        return self._rdkit_mol
+
+    def build_molecule(self):
+        """RDKit RWMol + conformer (molecule_builder.py:268-297).  Returns
+        None without RDKit."""
+        if not HAVE_RDKIT:
+            return None
+        rd_bond = [None, Chem.rdchem.BondType.SINGLE, Chem.rdchem.BondType.DOUBLE,
+                   Chem.rdchem.BondType.TRIPLE, Chem.rdchem.BondType.AROMATIC,
+                   None]
+        mol = Chem.RWMol()
+        for sym, charge in zip(self.atom_types, self.atom_charges):
+            a = Chem.Atom(sym)
+            if charge != 0:
+                a.SetFormalCharge(int(charge))
+            mol.AddAtom(a)
+        for bt, si, di in zip(self.bond_types, self.bond_src_idxs,
+                              self.bond_dst_idxs):
+            mol.AddBond(int(si), int(di), rd_bond[int(bt)])
+        try:
+            mol = mol.GetMol()
+        except Exception:
+            return None
+        conf = Chem.Conformer(mol.GetNumAtoms())
+        for i, (x, y, z) in enumerate(self.positions):
+            conf.SetAtomPosition(i, Point3D(float(x), float(y), float(z)))
+        mol.AddConformer(conf)
+        return mol
+
+
+def molecules_from_sampled_state(state: Dict[str, np.ndarray],
+                                 node_mask: np.ndarray,
+                                 atom_type_map: Sequence[str],
+                                 ctmc_mol: bool = True,
+                                 fake_atoms: bool = False,
+                                 explicit_aromaticity: bool = False
+                                 ) -> List[SampledMolecule]:
+    """Split the padded sampler output into per-molecule SampledMolecules.
+
+    state: {'x': (B,N,3), 'a': (B,N) tokens, 'c': (B,N) tokens,
+            'e_up': (B,M) tokens} (CTMC) as produced by FlowMol.integrate.
+    """
+    x = np.asarray(state["x"])
+    a = np.asarray(state["a"])
+    c = np.asarray(state["c"])
+    nm = np.asarray(node_mask)
+    B, n_pad = nm.shape
+    iu, ju = np.triu_indices(n_pad, 1)
+
+    if "e_up" in state:
+        e_up = np.asarray(state["e_up"])
+        e_dense = np.zeros((B, n_pad, n_pad), np.int64)
+        e_dense[:, iu, ju] = e_up
+        e_dense[:, ju, iu] = e_up
+    else:
+        e_dense = np.asarray(state["e"]).argmax(-1)
+
+    mols = []
+    for b in range(B):
+        n = int(nm[b].sum())
+        mols.append(SampledMolecule(
+            x[b, :n], a[b, :n], c[b, :n], e_dense[b, :n, :n], atom_type_map,
+            ctmc_mol=ctmc_mol, fake_atoms=fake_atoms,
+            explicit_aromaticity=explicit_aromaticity))
+    return mols

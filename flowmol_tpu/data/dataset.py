@@ -1,0 +1,300 @@
+"""Dataset storage, padded batch assembly and edge-budget bucketed batching.
+
+Parity targets:
+  * `MoleculeDataset.__getitem__` (/root/reference/flowmol/data_processing/
+    dataset.py:88-183): slab indexing, fake-atom augmentation, CoM removal,
+    adjacency reconstruction, one-hot encoding, OT-coupled prior sampling;
+  * `AdaptiveEdgeSampler` (adaptive_sampler.py:6-67): edge-budget batch
+    packing with rank-aware dataset sharding;
+  * `MoleculeDataModule` (data_module.py).
+
+TPU design delta: instead of ragged DGL graphs + dgl.batch collation, the
+batcher groups molecules into *size buckets* and emits fixed-shape padded
+`TrainBatch`es — one XLA compilation per bucket shape.  The per-bucket batch
+size is derived from the same edge budget the reference uses
+(`max_num_edges`), so memory use is roughly constant across buckets.
+
+Storage format: a single .npz of packed slabs (see `save_packed` /
+`PackedDataset`).  `tools/convert_reference_assets.py` converts the
+reference's processed .pt files into this format.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from flowmol_tpu.data.priors import coupled_node_prior_np, np_sample_prior_feat
+from flowmol_tpu.model import TrainBatch
+
+DEFAULT_BUCKETS = (16, 24, 32, 48, 64, 96, 128, 160, 192)
+
+
+# --------------------------------------------------------------------------- #
+# packed slab storage
+# --------------------------------------------------------------------------- #
+
+def save_packed(path, positions, atom_types, atom_charges, bond_types,
+                bond_idxs, node_idx_array, edge_idx_array):
+    """positions (T,3) f32; atom_types (T,) int token; atom_charges (T,) int
+    (raw charge, range [-2, 3]); bond_types (E,) int in [1..Kb] (0 = none is
+    never stored); bond_idxs (E,2) int; node/edge_idx_array (M,2) slab spans."""
+    np.savez_compressed(
+        path, positions=positions.astype(np.float32),
+        atom_types=atom_types.astype(np.int16),
+        atom_charges=atom_charges.astype(np.int16),
+        bond_types=bond_types.astype(np.int16),
+        bond_idxs=bond_idxs.astype(np.int32),
+        node_idx_array=node_idx_array.astype(np.int64),
+        edge_idx_array=edge_idx_array.astype(np.int64))
+
+
+class PackedDataset:
+    """Map-style access to the packed slab file."""
+
+    def __init__(self, path):
+        d = np.load(path)
+        self.positions = d["positions"]
+        self.atom_types = d["atom_types"]
+        self.atom_charges = d["atom_charges"]
+        self.bond_types = d["bond_types"]
+        self.bond_idxs = d["bond_idxs"]
+        self.node_idx_array = d["node_idx_array"]
+        self.edge_idx_array = d["edge_idx_array"]
+
+    def __len__(self):
+        return self.node_idx_array.shape[0]
+
+    @property
+    def n_atoms_per_mol(self) -> np.ndarray:
+        return (self.node_idx_array[:, 1] - self.node_idx_array[:, 0]).astype(
+            np.int64)
+
+    def get_molecule(self, idx: int) -> Dict[str, np.ndarray]:
+        ns, ne = self.node_idx_array[idx]
+        es, ee = self.edge_idx_array[idx]
+        n = int(ne - ns)
+        adj = np.zeros((n, n), np.int32)
+        bi = self.bond_idxs[es:ee]
+        bt = self.bond_types[es:ee]
+        adj[bi[:, 0], bi[:, 1]] = bt
+        adj = np.maximum(adj, adj.T)  # symmetric dense bond matrix
+        return {
+            "x": self.positions[ns:ne].astype(np.float32),
+            "a": self.atom_types[ns:ne].astype(np.int32),
+            "c": self.atom_charges[ns:ne].astype(np.int32),
+            "adj": adj,
+        }
+
+
+# --------------------------------------------------------------------------- #
+# per-molecule preparation (fake atoms, CoM removal, prior coupling)
+# --------------------------------------------------------------------------- #
+
+@dataclasses.dataclass
+class DataConfig:
+    prior_config: Dict[str, dict]
+    n_atom_types: int          # including the fake-atom class if enabled
+    n_charges: int = 6
+    n_bond_types: int = 4
+    fake_atom_p: float = 0.0
+    fake_atom_std: float = 1.0
+    is_ctmc: bool = True
+
+
+def prepare_molecule(rng: np.random.Generator, mol: Dict[str, np.ndarray],
+                     cfg: DataConfig) -> Dict[str, np.ndarray]:
+    """Fake-atom augmentation + CoM removal + OT-coupled prior for one molecule
+    (dataset.py:100-183)."""
+    x = mol["x"]
+    a = mol["a"].copy()
+    c = mol["c"].copy()
+    adj = mol["adj"]
+    n_real = x.shape[0]
+
+    if cfg.fake_atom_p > 0:
+        # the fake-atom class is appended after the real classes
+        # (dataset.py:120-122; decoded as 'Sn' in molecule_builder.py:40-41,
+        # token index len(atom_type_map) = n_atom_types - 1)
+        fake_token = cfg.n_atom_types - 1
+        max_fake = math.ceil(n_real * cfg.fake_atom_p)
+        n_fake = int(rng.integers(0, max(max_fake, 1)))
+        if n_fake > 0:
+            anchors = rng.integers(0, n_real, n_fake)
+            fx = x[anchors] + rng.standard_normal((n_fake, 3)).astype(
+                np.float32) * cfg.fake_atom_std
+            x = np.concatenate([x, fx], 0)
+            a = np.concatenate([a, np.full(n_fake, fake_token, a.dtype)], 0)
+            c = np.concatenate([c, np.zeros(n_fake, c.dtype)], 0)
+            adj2 = np.zeros((x.shape[0], x.shape[0]), adj.dtype)
+            adj2[:n_real, :n_real] = adj
+            adj = adj2
+
+    x = x - x.mean(0, keepdims=True)
+    n = x.shape[0]
+
+    a_oh = np.eye(cfg.n_atom_types, dtype=np.float32)[a]
+    c_off = np.clip(c + 2, 0, cfg.n_charges - 1)  # charges in [-2, 3]
+    c_oh = np.eye(cfg.n_charges, dtype=np.float32)[c_off]
+
+    dst = {"x": x, "a": a_oh, "c": c_oh}
+    prior = coupled_node_prior_np(rng, dst, cfg.prior_config)
+
+    # edge prior on the upper triangle, mirrored (priors.py:305-316)
+    iu, ju = np.triu_indices(n, 1)
+    m = iu.shape[0]
+    e_cfg = cfg.prior_config["e"]
+    ke = cfg.n_bond_types
+    e_up = np_sample_prior_feat(rng, e_cfg["type"], m, ke,
+                                e_cfg.get("kwargs", {}) or {})
+    e0 = np.zeros((n, n, e_up.shape[1]), np.float32)
+    e0[iu, ju] = e_up
+    e0[ju, iu] = e_up
+
+    return {"x1": x, "a1": a, "c1": c_off, "e1": adj.astype(np.int32),
+            "x0": prior["x"], "a0": prior["a"], "c0": prior["c"], "e0": e0}
+
+
+def pad_batch(mols: Sequence[Dict[str, np.ndarray]], n_pad: int) -> TrainBatch:
+    """Stack prepared molecules into one padded TrainBatch (numpy arrays)."""
+    B = len(mols)
+    ka = mols[0]["a0"].shape[1]
+    kc = mols[0]["c0"].shape[1]
+    ke = mols[0]["e0"].shape[2]
+
+    x1 = np.zeros((B, n_pad, 3), np.float32)
+    a1 = np.zeros((B, n_pad), np.int32)
+    c1 = np.zeros((B, n_pad), np.int32)
+    e1 = np.zeros((B, n_pad, n_pad), np.int32)
+    x0 = np.zeros((B, n_pad, 3), np.float32)
+    a0 = np.zeros((B, n_pad, ka), np.float32)
+    c0 = np.zeros((B, n_pad, kc), np.float32)
+    e0 = np.zeros((B, n_pad, n_pad, ke), np.float32)
+    nm = np.zeros((B, n_pad), bool)
+
+    for i, mol in enumerate(mols):
+        n = mol["x1"].shape[0]
+        x1[i, :n] = mol["x1"]
+        a1[i, :n] = mol["a1"]
+        c1[i, :n] = mol["c1"]
+        e1[i, :n, :n] = mol["e1"]
+        x0[i, :n] = mol["x0"]
+        a0[i, :n] = mol["a0"]
+        c0[i, :n] = mol["c0"]
+        e0[i, :n, :n] = mol["e0"]
+        nm[i, :n] = True
+
+    return TrainBatch(x1=x1, a1=a1, c1=c1, e1=e1, x0=x0, a0=a0, c0=c0, e0=e0,
+                      node_mask=nm)
+
+
+# --------------------------------------------------------------------------- #
+# bucketed edge-budget batcher
+# --------------------------------------------------------------------------- #
+
+class BucketBatcher:
+    """Groups molecules into size buckets; each bucket gets a fixed batch size
+    derived from the edge budget, so every emitted batch of a given bucket has
+    identical shape (one XLA program per bucket).
+
+    Semantics follow AdaptiveEdgeSampler: shuffle, pack until the edge budget
+    would overflow, emit; plus contiguous per-rank sharding.
+    """
+
+    def __init__(self, n_atoms_per_mol: np.ndarray, max_num_edges: int = 40000,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 min_batch_size: int = 1, max_batch_size: int = 256,
+                 rank: int = 0, world_size: int = 1, seed: int = 0,
+                 fake_atom_headroom: float = 0.0):
+        # fake atoms enlarge molecules by up to ceil(n * p); reserve headroom
+        eff = np.ceil(n_atoms_per_mol * (1.0 + fake_atom_headroom)).astype(int)
+        self.buckets = [b for b in buckets if b >= int(eff.min())]
+        if int(eff.max()) > max(buckets):
+            raise ValueError(
+                f"molecule with {int(eff.max())} atoms exceeds largest bucket")
+        self.bucket_of = np.searchsorted(np.asarray(buckets), eff, side="left")
+        self.bucket_sizes = np.asarray(buckets)
+        self.batch_size_for = {
+            int(b): int(np.clip(max_num_edges // max(b * (b - 1), 1),
+                                min_batch_size, max_batch_size))
+            for b in buckets
+        }
+        n = n_atoms_per_mol.shape[0]
+        per = n // world_size
+        start = rank * per
+        end = n if rank == world_size - 1 else start + per
+        self.indices = np.arange(start, end)
+        self.seed = seed
+        self.epoch = 0
+
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+        """Yields (n_pad, molecule_indices) batches."""
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = rng.permutation(self.indices)
+        pending: Dict[int, List[int]] = {}
+        for idx in order:
+            b = int(self.bucket_sizes[self.bucket_of[idx]])
+            pending.setdefault(b, []).append(int(idx))
+            if len(pending[b]) == self.batch_size_for[b]:
+                yield b, np.asarray(pending.pop(b))
+        # flush stragglers, repeating in-bucket molecules to fill the batch
+        # so every batch of a bucket keeps the same compiled shape
+        for b, lst in pending.items():
+            want = self.batch_size_for[b]
+            arr = np.asarray(lst)
+            if len(lst) < want:
+                arr = np.concatenate([arr, rng.choice(arr, want - len(lst))])
+            yield b, arr
+        self.epoch += 1
+
+    def n_batches_per_epoch(self) -> int:
+        counts: Dict[int, int] = {}
+        for idx in self.indices:
+            b = int(self.bucket_sizes[self.bucket_of[idx]])
+            counts[b] = counts.get(b, 0) + 1
+        return sum(math.ceil(c / self.batch_size_for[b])
+                   for b, c in counts.items())
+
+
+class MoleculeDataModule:
+    """Train/val iterators of padded TrainBatches (parity: data_module.py)."""
+
+    def __init__(self, processed_dir, data_cfg: DataConfig,
+                 max_num_edges: int = 40000, buckets=DEFAULT_BUCKETS,
+                 rank: int = 0, world_size: int = 1, seed: int = 0,
+                 dataset_size: Optional[int] = None):
+        self.processed_dir = Path(processed_dir)
+        self.cfg = data_cfg
+        self.max_num_edges = max_num_edges
+        self.buckets = buckets
+        self.rank, self.world_size, self.seed = rank, world_size, seed
+        self.dataset_size = dataset_size
+        self._datasets: Dict[str, PackedDataset] = {}
+
+    def dataset(self, split: str) -> PackedDataset:
+        if split not in self._datasets:
+            ds = PackedDataset(self.processed_dir / f"{split}_data_processed.npz")
+            if self.dataset_size:
+                ds.node_idx_array = ds.node_idx_array[:self.dataset_size]
+                ds.edge_idx_array = ds.edge_idx_array[:self.dataset_size]
+            self._datasets[split] = ds
+        return self._datasets[split]
+
+    def batcher(self, split: str) -> BucketBatcher:
+        ds = self.dataset(split)
+        return BucketBatcher(
+            ds.n_atoms_per_mol, max_num_edges=self.max_num_edges,
+            buckets=self.buckets, rank=self.rank, world_size=self.world_size,
+            seed=self.seed, fake_atom_headroom=self.cfg.fake_atom_p)
+
+    def iter_split(self, split: str, rng: np.random.Generator
+                   ) -> Iterator[TrainBatch]:
+        ds = self.dataset(split)
+        for n_pad, idxs in self.batcher(split):
+            mols = [prepare_molecule(rng, ds.get_molecule(i), self.cfg)
+                    for i in idxs]
+            yield pad_batch(mols, n_pad)

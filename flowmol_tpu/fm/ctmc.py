@@ -1,0 +1,205 @@
+"""CTMC discrete flows (FlowMol2/3), vectorized over padded batches.
+
+Behavioural parity targets:
+  * masked-token conditional path: ctmc_vector_field.py:97-143
+  * campbell step:                 ctmc_vector_field.py:414-461
+  * gat step:                      ctmc_vector_field.py:463-510
+  * purity sampling:               flowmol/utils/ctmc_utils.py:4-35
+  * temperature / forward-weight schedules: ctmc_vector_field.py:71-95
+
+TPU design deltas: all functions are pure (explicit PRNG keys), shapes are
+static, categorical entities are flattened to (B, M) slabs (M = nodes, or the
+N(N-1)/2 upper-triangle edges extracted with static indices), and the
+per-graph reductions of the reference's `segment_csr` become plain masked
+sums over axis 1 — no scatter ops anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------- #
+# dense <-> upper-triangle slab conversion (static index tables)
+# --------------------------------------------------------------------------- #
+
+def upper_tri_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static (i, j) index arrays of the strict upper triangle, in the same
+    row-major order the reference uses (`torch.triu_indices`)."""
+    return np.triu_indices(n, k=1)
+
+
+def edges_to_upper(e: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(B, N, N, ...) -> (B, M, ...) gathering the upper triangle."""
+    iu, ju = upper_tri_indices(n)
+    return e[:, iu, ju]
+
+
+def upper_to_dense(vals: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(B, M, ...) -> symmetric (B, N, N, ...) with zero diagonal."""
+    iu, ju = upper_tri_indices(n)
+    shape = (vals.shape[0], n, n) + vals.shape[2:]
+    out = jnp.zeros(shape, vals.dtype)
+    out = out.at[:, iu, ju].set(vals)
+    out = out.at[:, ju, iu].set(vals)
+    return out
+
+
+def upper_valid_mask(node_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) -> (B, M) validity of each upper-triangle edge."""
+    n = node_mask.shape[1]
+    iu, ju = upper_tri_indices(n)
+    return node_mask[:, iu] & node_mask[:, ju]
+
+
+# --------------------------------------------------------------------------- #
+# schedules
+# --------------------------------------------------------------------------- #
+
+def cat_temperature(t, schedule="decay", decay_max: float = 0.8,
+                    decay_a: float = 2.0):
+    """Categorical softmax temperature schedule (ctmc_vector_field.py:71-82)."""
+    if schedule == "decay":
+        return decay_max * jnp.power(1.0 - t, decay_a)
+    if callable(schedule):
+        return schedule(t)
+    return jnp.asarray(float(schedule))
+
+
+def forward_weight(t, schedule="beta", beta_a: float = 0.25,
+                   beta_b: float = 0.25, beta_max: float = 10.0):
+    """Forward-weight schedule for the 'gat' step (ctmc_vector_field.py:84-95)."""
+    if schedule == "beta":
+        return 1.0 + beta_max * jnp.power(t, beta_a) * jnp.power(1.0 - t, beta_b)
+    if callable(schedule):
+        return schedule(t)
+    return jnp.asarray(float(schedule))
+
+
+# --------------------------------------------------------------------------- #
+# conditional path (training)
+# --------------------------------------------------------------------------- #
+
+def mask_tokens(rng, x1_tokens: jnp.ndarray, alpha: jnp.ndarray,
+                mask_index: int) -> jnp.ndarray:
+    """Independently replace each token by the mask token with prob 1 - alpha.
+
+    x1_tokens: (B, M) int; alpha: (B,) per-graph alpha_t for this feature.
+    """
+    u = jax.random.uniform(rng, x1_tokens.shape)
+    return jnp.where(u < 1.0 - alpha[:, None], mask_index, x1_tokens)
+
+
+# --------------------------------------------------------------------------- #
+# purity sampling
+# --------------------------------------------------------------------------- #
+
+def purity_sampling(rng, xt: jnp.ndarray, x1_probs: jnp.ndarray,
+                    unmask_prob: jnp.ndarray, mask_index: int,
+                    valid_mask: jnp.ndarray, hc_thresh: float) -> jnp.ndarray:
+    """Budgeted unmasking preferring high-confidence predictions.
+
+    xt: (B, M) tokens; x1_probs: (B, M, K); valid_mask: (B, M) bool.
+    Returns (B, M) bool `will_unmask`.  Per-graph counts are masked sums over
+    axis 1 (the reference used torch_scatter.segment_csr).
+    """
+    masked = (xt == mask_index) & valid_mask
+    purities = jnp.max(x1_probs, axis=-1)
+    hc = (purities >= hc_thresh) & masked
+    lc = (purities < hc_thresh) & masked
+
+    hc_per_graph = jnp.sum(hc, axis=1).astype(jnp.float32)
+    masked_per_graph = jnp.sum(masked, axis=1).astype(jnp.float32)
+
+    budget = unmask_prob * masked_per_graph
+    ph_max = jnp.where(hc_per_graph > 0, budget / jnp.maximum(hc_per_graph, 1.0),
+                       jnp.inf)
+    ph = jnp.minimum(ph_max, 1.0)
+    lc_per_graph = masked_per_graph - hc_per_graph
+    pl = jnp.where(lc_per_graph > 0,
+                   (budget - ph * hc_per_graph) / jnp.maximum(lc_per_graph, 1.0),
+                   0.0)
+
+    prob = jnp.where(hc, ph[:, None], jnp.where(lc, pl[:, None], 0.0))
+    u = jax.random.uniform(rng, xt.shape)
+    return (u < prob) & valid_mask
+
+
+# --------------------------------------------------------------------------- #
+# integration steps
+# --------------------------------------------------------------------------- #
+
+class CatStepOut(NamedTuple):
+    xt: jnp.ndarray          # (B, M) new tokens
+    x1_sampled: jnp.ndarray  # (B, M) sampled endpoint tokens
+
+
+def campbell_step(rng, p1: jnp.ndarray, xt: jnp.ndarray, *,
+                  stochasticity: float, hc_thresh: float,
+                  alpha_t: jnp.ndarray, alpha_t_prime: jnp.ndarray,
+                  dt: jnp.ndarray, mask_index: int,
+                  valid_mask: jnp.ndarray, last_step: jnp.ndarray) -> CatStepOut:
+    """One Campbell et al. CTMC jump step for a categorical feature.
+
+    p1: (B, M, K) endpoint probabilities over the K real classes (no mask col);
+    xt: (B, M) current tokens in [0, K] (K = mask);
+    last_step: traced bool — when True, no re-masking happens.
+    """
+    k_sample, k_unmask, k_mask = jax.random.split(rng, 3)
+    x1 = jax.random.categorical(k_sample, jnp.log(jnp.maximum(p1, 1e-30)))
+
+    denom = jnp.maximum(1.0 - alpha_t, 1e-9)
+    unmask_prob = jnp.clip(dt * (alpha_t_prime + stochasticity * alpha_t) / denom,
+                           0.0, 1.0)
+    mask_prob = jnp.clip(dt * stochasticity, 0.0, 1.0)
+
+    if hc_thresh > 0:
+        will_unmask = purity_sampling(k_unmask, xt, p1, unmask_prob, mask_index,
+                                      valid_mask, hc_thresh)
+    else:
+        u = jax.random.uniform(k_unmask, xt.shape)
+        will_unmask = (u < unmask_prob) & (xt == mask_index) & valid_mask
+
+    u2 = jax.random.uniform(k_mask, xt.shape)
+    will_mask = (u2 < mask_prob) & (xt != mask_index) & valid_mask
+    will_mask = will_mask & ~last_step  # no re-masking on the final step
+
+    out = jnp.where(will_mask, mask_index, xt)
+    out = jnp.where(will_unmask, x1, out)
+    return CatStepOut(xt=out, x1_sampled=x1)
+
+
+def gat_step(rng, p1: jnp.ndarray, xt: jnp.ndarray, *,
+             alpha_t: jnp.ndarray, alpha_t_prime: jnp.ndarray,
+             fw: jnp.ndarray, dt: jnp.ndarray, mask_index: int,
+             valid_mask: jnp.ndarray) -> CatStepOut:
+    """Forward/backward probability-velocity mixture step ('gat').
+
+    p1: (B, M, K) endpoint probs over real classes; a zero mask column is
+    appended internally (K+1 classes total).
+    """
+    n_classes = p1.shape[-1] + 1
+    p1_pad = jnp.concatenate([p1, jnp.zeros_like(p1[..., :1])], axis=-1)
+    delta_xt = jax.nn.one_hot(xt, n_classes, dtype=p1.dtype)
+    delta_mask = jax.nn.one_hot(jnp.full_like(xt, mask_index), n_classes,
+                                dtype=p1.dtype)
+
+    denom = jnp.maximum(1.0 - alpha_t, 1e-9)
+    u_fwd = alpha_t_prime / denom * (p1_pad - delta_xt)
+    u_bwd = alpha_t_prime / (alpha_t + 1e-8) * (delta_xt - delta_mask)
+    pvel = fw * u_fwd - (fw - 1.0) * u_bwd
+    p_step = jnp.clip(delta_xt + dt * pvel, 1e-9, 1.0)
+
+    x_dt = jax.random.categorical(rng, jnp.log(p_step))
+    x_dt = jnp.where(valid_mask, x_dt, xt)
+    return CatStepOut(xt=x_dt, x1_sampled=jnp.argmax(p1, axis=-1))
+
+
+def sharpen(p: jnp.ndarray, temperature: jnp.ndarray) -> jnp.ndarray:
+    """softmax(log(p)/T): temperature sharpening of endpoint probabilities
+    (ctmc_vector_field.py:354-356)."""
+    return jax.nn.softmax(jnp.log(jnp.maximum(p, 1e-30)) / temperature, axis=-1)

@@ -1,0 +1,145 @@
+"""Dense padded molecule batches — the TPU-native graph substrate.
+
+The reference (FlowMol, see /root/reference/flowmol/data_processing/utils.py:4-46)
+represents a batch of molecules as a ragged DGL batched graph with an explicit
+edge list in canonical upper-then-lower-triangle order, and recomputes batch
+bookkeeping (`get_batch_idxs`, `get_upper_edge_mask`) at runtime.
+
+On TPU we want static shapes and zero gather/scatter: every molecule is a
+*fully connected* graph, so a batch is simply dense tensors
+
+    x : (B, N, 3)        float  positions
+    a : (B, N, Ka)       float  atom-type simplex / one-hot (optionally +mask)
+    c : (B, N, Kc)       float  formal-charge simplex
+    e : (B, N, N, Ke)    float  bond-order simplex, symmetric, diag invalid
+
+with a node validity mask (B, N).  All "edge bookkeeping" of the reference
+becomes static index arithmetic:
+
+  - the reference's `upper_edge_mask` == the static boolean `i < j` mask;
+  - `node_batch_idx` / `edge_batch_idx` vanish (axis 0 is the molecule);
+  - DGL `update_all`(copy_e, sum) == a masked `sum` over axis 2;
+  - `readout_nodes(op='mean')` == masked mean over axis 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+CANONICAL_FEAT_ORDER = ("x", "a", "c", "e")
+NODE_FEATS = ("x", "a", "c")
+EDGE_FEATS = ("e",)
+
+
+def node_mask_to_pair_mask(node_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) bool -> (B, N, N) bool of valid *directed* edges (i != j)."""
+    n = node_mask.shape[-1]
+    pair = node_mask[..., :, None] & node_mask[..., None, :]
+    eye = jnp.eye(n, dtype=bool)
+    return pair & ~eye
+
+
+def upper_mask(n: int) -> jnp.ndarray:
+    """Static (N, N) boolean mask of the strict upper triangle (i < j).
+
+    Plays the role of the reference's `get_upper_edge_mask`
+    (/root/reference/flowmol/data_processing/utils.py:19-28) but is a
+    compile-time constant instead of runtime bookkeeping.
+    """
+    i = jnp.arange(n)
+    return i[:, None] < i[None, :]
+
+
+def symmetrize_edge_feats(e: jnp.ndarray) -> jnp.ndarray:
+    """Symmetrize (B, N, N, K): take upper-triangle entries as canonical."""
+    um = upper_mask(e.shape[-2])[None, :, :, None]
+    return jnp.where(um, e, jnp.swapaxes(e, 1, 2))
+
+
+def symmetrize_edge_scalar(e: jnp.ndarray) -> jnp.ndarray:
+    """Symmetrize (B, N, N): take upper-triangle entries as canonical."""
+    um = upper_mask(e.shape[-1])[None, :, :]
+    return jnp.where(um, e, jnp.swapaxes(e, 1, 2))
+
+
+def masked_mean_nodes(feat: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-graph mean over valid nodes. feat (B, N, D), mask (B, N) -> (B, D).
+
+    Equivalent of `dgl.readout_nodes(g, op='mean')`.
+    """
+    m = node_mask[..., None].astype(feat.dtype)
+    s = jnp.sum(feat * m, axis=1)
+    cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return s / cnt
+
+
+def remove_com(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Project positions into the zero-center-of-mass subspace per molecule."""
+    com = masked_mean_nodes(x, node_mask)
+    return jnp.where(node_mask[..., None], x - com[:, None, :], x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MolBatch:
+    """A padded batch of molecules (pytree).
+
+    Continuous simplex/one-hot representation for categorical features so all
+    four parameterizations (endpoint / vector-field / dirichlet / ctmc) share
+    one state layout.  Categorical arrays may carry an extra mask-token column
+    under CTMC.
+    """
+
+    x: jnp.ndarray          # (B, N, 3)
+    a: jnp.ndarray          # (B, N, Ka)
+    c: jnp.ndarray          # (B, N, Kc)
+    e: jnp.ndarray          # (B, N, N, Ke) symmetric
+    node_mask: jnp.ndarray  # (B, N) bool
+
+    def tree_flatten(self):
+        return (self.x, self.a, self.c, self.e, self.node_mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def batch_size(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def pair_mask(self) -> jnp.ndarray:
+        return node_mask_to_pair_mask(self.node_mask)
+
+    @property
+    def n_atoms(self) -> jnp.ndarray:
+        return jnp.sum(self.node_mask, axis=1)
+
+    def as_dict(self) -> Dict[str, jnp.ndarray]:
+        return {"x": self.x, "a": self.a, "c": self.c, "e": self.e}
+
+    def replace(self, **kw) -> "MolBatch":
+        return dataclasses.replace(self, **kw)
+
+
+def pad_bucket(n_atoms: int, buckets: tuple) -> int:
+    """Smallest bucket size >= n_atoms. `buckets` is a sorted tuple of ints."""
+    for b in buckets:
+        if n_atoms <= b:
+            return b
+    raise ValueError(f"molecule with {n_atoms} atoms exceeds largest bucket {buckets[-1]}")
+
+
+# Default bucket boundaries. QM9 (<=29 heavy+H atoms) lives in the first two;
+# GEOM-drugs with explicit H reaches ~181 atoms
+# (see /root/reference/flowmol/data_processing/adaptive_sampler.py:32-34).
+DEFAULT_BUCKETS = (32, 48, 64, 96, 128, 192)

@@ -1,0 +1,619 @@
+"""FlowMol-TPU: the flow-matching model tying scheduler, network, paths,
+losses and the sampler together.
+
+Behavioural parity target: `FlowMol` in /root/reference/flowmol/models/flowmol.py
+(forward/losses 297-415, sample_prior 417-448, sample 489-589) plus the
+`integrate`/`step` logic of EndpointVectorField (vector_field.py:388-564) and
+CTMCVectorField (ctmc_vector_field.py:145-411).
+
+TPU design deltas (SURVEY.md §7):
+  * the whole train objective is one pure function (jit/pjit-able);
+  * the sampler is a single `lax.scan` over timesteps — zero host round-trips;
+  * all four parameterizations share one padded dense state layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowmol_tpu.fm import ctmc
+from flowmol_tpu.fm.interpolant import FEAT_INDEX, InterpolantSchedule
+from flowmol_tpu.graphs import (CANONICAL_FEAT_ORDER, masked_mean_nodes,
+                                remove_com)
+from flowmol_tpu.nn.vector_field import MolGVPNet, VectorFieldConfig
+
+PARAMETERIZATIONS = ("endpoint", "vector-field", "dirichlet", "ctmc")
+
+
+# --------------------------------------------------------------------------- #
+# configs
+# --------------------------------------------------------------------------- #
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Inference-time knobs (CTMC unless noted).
+
+    Parity: ctmc_vector_field.py:23-60 constructor defaults and the
+    integrate() overrides (145-154); continuous_inv_temp for endpoint models
+    (vector_field.py:199-209).
+    """
+
+    stochasticity: float = 8.0
+    high_confidence_threshold: float = 0.9
+    dfm_type: str = "campbell"
+    cat_temperature_schedule: Any = 0.05   # 'decay' | float
+    cat_temp_decay_max: float = 0.8
+    cat_temp_decay_a: float = 2.0
+    forward_weight_schedule: Any = "beta"  # 'beta' | float
+    fw_beta_a: float = 0.25
+    fw_beta_b: float = 0.25
+    fw_beta_max: float = 10.0
+    continuous_inv_temp_schedule: Optional[str] = None  # None | 'linear'
+    continuous_inv_temp_max: float = 10.0
+
+    def cat_temp(self, t):
+        return ctmc.cat_temperature(t, self.cat_temperature_schedule,
+                                    self.cat_temp_decay_max, self.cat_temp_decay_a)
+
+    def fw(self, t):
+        return ctmc.forward_weight(t, self.forward_weight_schedule,
+                                   self.fw_beta_a, self.fw_beta_b, self.fw_beta_max)
+
+    def inv_temp(self, t):
+        if self.continuous_inv_temp_schedule is None:
+            return jnp.asarray(1.0)
+        if self.continuous_inv_temp_schedule == "linear":
+            return self.continuous_inv_temp_max * (1.0 - t)
+        raise ValueError(
+            f"invalid continuous_inv_temp_schedule {self.continuous_inv_temp_schedule}")
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowMolConfig:
+    atom_type_map: Tuple[str, ...]
+    n_atom_charges: int = 6
+    parameterization: str = "ctmc"
+    explicit_aromaticity: bool = False
+    time_scaled_loss: bool = True
+    weight_ae: bool = False
+    target_blur: float = 0.0
+    total_loss_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    fake_atom_p: float = 0.0
+    fake_atom_std: float = 1.0
+    distort_p: float = 0.0
+    distort_t: float = 0.5
+    default_n_timesteps: int = 250
+    scprop: float = 0.5
+    prior_x_std: float = 1.0
+    dirichlet_w_max: float = 32.0
+    schedule: InterpolantSchedule = InterpolantSchedule()
+    vf: VectorFieldConfig = None  # type: ignore[assignment]
+    sampling: SamplingConfig = SamplingConfig()
+
+    @property
+    def n_atom_types(self) -> int:
+        # fake atoms add one atom-type class (flowmol.py:76-81)
+        return len(self.atom_type_map) + (1 if self.fake_atom_p > 0 else 0)
+
+    @property
+    def n_bond_types(self) -> int:
+        return 5 if self.explicit_aromaticity else 4
+
+    @property
+    def is_ctmc(self) -> bool:
+        return self.parameterization == "ctmc"
+
+    @property
+    def n_cats(self) -> Dict[str, int]:
+        return {"a": self.n_atom_types, "c": self.n_atom_charges,
+                "e": self.n_bond_types}
+
+    @property
+    def mask_idxs(self) -> Dict[str, int]:
+        return self.n_cats
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "FlowMolConfig":
+        """Build from the reference's YAML schema (mol_fm / vector_field /
+        interpolant_scheduler sections; see configs/dev.yml in the reference)."""
+        mol_fm = dict(cfg.get("mol_fm", {}))
+        vf_cfg = dict(cfg.get("vector_field", {}))
+        ds_cfg = cfg.get("dataset", {})
+        parameterization = mol_fm.get("parameterization", "endpoint")
+        if parameterization not in PARAMETERIZATIONS:
+            raise ValueError(f"parameterization must be one of {PARAMETERIZATIONS}")
+        atom_map = tuple(ds_cfg.get("atom_map", mol_fm.get("atom_type_map", ())))
+        explicit_aromaticity = bool(mol_fm.get("explicit_aromaticity", False))
+        fake_atom_p = float(mol_fm.get("fake_atom_p", 0.0) or 0.0)
+        n_charges = int(mol_fm.get("n_atom_charges", 6))
+        n_bond = 5 if explicit_aromaticity else 4
+
+        tlw = mol_fm.get("total_loss_weights", {}) or {}
+        weights = tuple(float(tlw.get(f, 1.0)) for f in CANONICAL_FEAT_ORDER)
+
+        schedule = InterpolantSchedule.from_config(cfg.get("interpolant_scheduler"))
+
+        n_atom_types = len(atom_map) + (1 if fake_atom_p > 0 else 0)
+        vf = VectorFieldConfig.from_config(
+            vf_cfg, n_atom_types=n_atom_types, n_charges=n_charges,
+            n_bond_types=n_bond, has_mask=(parameterization == "ctmc"))
+
+        samp_keys = {f.name for f in dataclasses.fields(SamplingConfig)}
+        samp_kw = {k: v for k, v in vf_cfg.items() if k in samp_keys and v is not None}
+        if "continuous_inv_temp_max" in vf_cfg:
+            samp_kw["continuous_inv_temp_max"] = vf_cfg["continuous_inv_temp_max"]
+
+        prior_cfg = mol_fm.get("prior_config", {}) or {}
+        prior_x_std = float(((prior_cfg.get("x") or {}).get("kwargs") or {})
+                            .get("std", 1.0))
+
+        return cls(
+            atom_type_map=atom_map,
+            n_atom_charges=n_charges,
+            parameterization=parameterization,
+            explicit_aromaticity=explicit_aromaticity,
+            time_scaled_loss=bool(mol_fm.get("time_scaled_loss", True)),
+            weight_ae=bool(mol_fm.get("weight_ae", False)),
+            target_blur=float(mol_fm.get("target_blur", 0.0) or 0.0),
+            total_loss_weights=weights,
+            fake_atom_p=fake_atom_p,
+            fake_atom_std=float(mol_fm.get("fake_atom_std", 1.0) or 1.0),
+            distort_p=float(mol_fm.get("distort_p", 0.0) or 0.0),
+            distort_t=float(mol_fm.get("distort_t", 0.5) or 0.5),
+            default_n_timesteps=int(mol_fm.get("default_n_timesteps", 250)),
+            scprop=float(vf_cfg.get("scprop", 0.5) or 0.5),
+            prior_x_std=prior_x_std,
+            dirichlet_w_max=float(vf_cfg.get("w_max", 32.0) or 32.0),
+            schedule=schedule,
+            vf=vf,
+            sampling=SamplingConfig(**samp_kw),
+        )
+
+
+# --------------------------------------------------------------------------- #
+# train batch pytree
+# --------------------------------------------------------------------------- #
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainBatch:
+    """One padded training batch.
+
+    Ground truth (t=1): x1 (B,N,3) f32; a1/c1 (B,N) i32 tokens;
+    e1 (B,N,N) i32 symmetric tokens.
+    Prior (t=0, OT-coupled on host like dataset.py:168-183): x0 (B,N,3);
+    a0/c0 (B,N,K[+1]) f32; e0 (B,N,N,K[+1]) f32.
+    node_mask (B,N) bool.
+    """
+
+    x1: jnp.ndarray
+    a1: jnp.ndarray
+    c1: jnp.ndarray
+    e1: jnp.ndarray
+    x0: jnp.ndarray
+    a0: jnp.ndarray
+    c0: jnp.ndarray
+    e0: jnp.ndarray
+    node_mask: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.x1, self.a1, self.c1, self.e1, self.x0, self.a0,
+                 self.c0, self.e0, self.node_mask), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+# --------------------------------------------------------------------------- #
+# the model
+# --------------------------------------------------------------------------- #
+
+class FlowMol:
+    """Stateless model: holds configs + the flax network definition.
+
+    All compute methods are pure functions of (params, data, rng) suitable for
+    jit / pjit / scan.
+    """
+
+    def __init__(self, cfg: FlowMolConfig):
+        if cfg.vf is None:
+            raise ValueError("FlowMolConfig.vf must be set")
+        self.cfg = cfg
+        self.net = MolGVPNet(cfg.vf)
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng, batch_size: int = 2, n_nodes: int = 8):
+        cfg = self.cfg
+        km = cfg.vf.n_mask_feats
+        x = jnp.zeros((batch_size, n_nodes, 3))
+        a = jnp.zeros((batch_size, n_nodes, cfg.n_atom_types + km))
+        c = jnp.zeros((batch_size, n_nodes, cfg.n_atom_charges + km))
+        e = jnp.zeros((batch_size, n_nodes, n_nodes, cfg.n_bond_types + km))
+        t = jnp.zeros((batch_size,))
+        nm = jnp.ones((batch_size, n_nodes), bool)
+        return self.net.init({"params": rng}, x, a, c, e, t, nm)
+
+    # --------------------------------------------------------- conditional path
+    def sample_conditional_path(self, rng, batch: TrainBatch, t: jnp.ndarray):
+        """p(g_t | g_0, g_1) per parameterization. Returns dict of x_t arrays:
+        x (B,N,3); a/c (B,N,Ka[+1]); e (B,N,N,Ke[+1]) — all float one-hot or
+        simplex representations ready for the network."""
+        cfg = self.cfg
+        alpha = cfg.schedule.alpha_t(t)  # (B, 4)
+        n = batch.node_mask.shape[1]
+        out = {}
+
+        ax = alpha[:, FEAT_INDEX["x"]][:, None, None]
+        out["x"] = (1 - ax) * batch.x0 + ax * batch.x1
+
+        if cfg.parameterization == "ctmc":
+            ka, kc, ke = cfg.n_atom_types, cfg.n_atom_charges, cfg.n_bond_types
+            ra, rc, re = jax.random.split(rng, 3)
+            a_t = ctmc.mask_tokens(ra, batch.a1, alpha[:, 1], ka)
+            c_t = ctmc.mask_tokens(rc, batch.c1, alpha[:, 2], kc)
+            out["a"] = jax.nn.one_hot(a_t, ka + 1)
+            out["c"] = jax.nn.one_hot(c_t, kc + 1)
+            e1_up = ctmc.edges_to_upper(batch.e1, n)
+            e_up = ctmc.mask_tokens(re, e1_up, alpha[:, 3], ke)
+            out["e"] = ctmc.upper_to_dense(jax.nn.one_hot(e_up, ke + 1), n)
+        elif cfg.parameterization == "dirichlet":
+            # Dirichlet(1 + w_t * one_hot(x1)) per category
+            # (vector_field.py:668-698)
+            w = alpha * cfg.dirichlet_w_max + 1.0
+            keys = jax.random.split(rng, 3)
+            for key, feat, x1_tok, kk, aidx in (
+                    (keys[0], "a", batch.a1, cfg.n_atom_types, 1),
+                    (keys[1], "c", batch.c1, cfg.n_atom_charges, 2)):
+                onehot = jax.nn.one_hot(x1_tok, kk)
+                params = 1.0 + w[:, aidx][:, None, None] * onehot
+                g = jax.random.gamma(key, params)
+                out[feat] = g / jnp.sum(g, -1, keepdims=True)
+            e1_up = ctmc.edges_to_upper(batch.e1, n)
+            onehot = jax.nn.one_hot(e1_up, cfg.n_bond_types)
+            params = 1.0 + w[:, 3][:, None, None] * onehot
+            g = jax.random.gamma(keys[2], params)
+            out["e"] = ctmc.upper_to_dense(g / jnp.sum(g, -1, keepdims=True), n)
+        else:  # endpoint / vector-field: linear interpolation on the simplex
+            for feat, x1_tok, x0f, kk, idx in (
+                    ("a", batch.a1, batch.a0, cfg.n_atom_types, 1),
+                    ("c", batch.c1, batch.c0, cfg.n_atom_charges, 2)):
+                af = alpha[:, idx][:, None, None]
+                out[feat] = (1 - af) * x0f + af * jax.nn.one_hot(x1_tok, kk)
+            af = alpha[:, 3][:, None, None, None]
+            out["e"] = (1 - af) * batch.e0 + af * jax.nn.one_hot(
+                batch.e1, cfg.n_bond_types)
+        return out
+
+    # ------------------------------------------------------------------ loss
+    def loss_fn(self, params, batch: TrainBatch, rng, train: bool = True,
+                p_a: Optional[jnp.ndarray] = None,
+                p_e: Optional[jnp.ndarray] = None):
+        """Per-feature flow-matching losses (flowmol.py:297-415)."""
+        cfg = self.cfg
+        B = batch.x1.shape[0]
+        n = batch.node_mask.shape[1]
+        k_t, k_path, k_distort, k_sc, k_drop = jax.random.split(rng, 5)
+
+        t = jax.random.uniform(k_t, (B,))
+        state = self.sample_conditional_path(k_path, batch, t)
+
+        # distortion augmentation (flowmol.py:333-337)
+        if cfg.distort_p > 0:
+            t_gate = (t > cfg.distort_t)[:, None, None]
+            dm = (jax.random.uniform(k_distort, (B, n, 1)) < cfg.distort_p) & t_gate
+            noise = jax.random.normal(jax.random.fold_in(k_distort, 1),
+                                      batch.x1.shape)
+            state["x"] = state["x"] + noise * dm * 0.5
+
+        state["x"] = state["x"] * batch.node_mask[..., None]
+
+        sc_mask = None
+        if cfg.vf.self_conditioning:
+            if train:
+                sc_mask = jax.random.bernoulli(k_sc, 1.0 - cfg.scprop, (B,))
+            else:
+                sc_mask = jnp.zeros((B,), bool)
+
+        rngs = {"dropout": k_drop} if (train and cfg.vf.dropout > 0) else {}
+        dst = self.net.apply(
+            params, state["x"], state["a"], state["c"], state["e"], t,
+            batch.node_mask, prev_dst=None, sc_apply_mask=sc_mask,
+            apply_softmax=False, remove_com=False,
+            deterministic=not train, rngs=rngs)
+
+        k_blur = jax.random.fold_in(k_path, 7)
+        return self._compute_losses(dst, state, batch, t, p_a=p_a, p_e=p_e,
+                                    blur_rng=k_blur)
+
+    def _compute_losses(self, dst, state, batch: TrainBatch, t, p_a=None,
+                        p_e=None, blur_rng=None):
+        cfg = self.cfg
+        n = batch.node_mask.shape[1]
+        nm = batch.node_mask
+        nmf = nm.astype(jnp.float32)
+        up_valid = ctmc.upper_valid_mask(nm).astype(jnp.float32)
+
+        tw = (cfg.schedule.loss_weights(t) if cfg.time_scaled_loss
+              else jnp.ones((t.shape[0], 4)))
+        alpha_prime = cfg.schedule.alpha_t_prime(t)
+
+        losses = {}
+
+        # ---- x (MSE) ----
+        if cfg.parameterization == "vector-field":
+            x_target = alpha_prime[:, 0][:, None, None] * (batch.x1 - batch.x0)
+        else:
+            x_target = batch.x1
+        se = jnp.square(dst["x"] - x_target) * nmf[..., None]
+        w = tw[:, 0][:, None, None]
+        losses["x"] = jnp.sum(se * w) / jnp.maximum(jnp.sum(nmf) * 3.0, 1.0)
+
+        # ---- categorical feats ----
+        for feat, idx in (("a", 1), ("c", 2), ("e", 3)):
+            k = cfg.n_cats[feat]
+            if feat == "e":
+                logits = ctmc.edges_to_upper(dst["e"], n)
+                tokens = ctmc.edges_to_upper(batch.e1, n)
+                xt = ctmc.edges_to_upper(state["e"], n)
+                valid = up_valid
+                w = tw[:, idx][:, None]
+            else:
+                logits = dst[feat]
+                tokens = batch.a1 if feat == "a" else batch.c1
+                xt = state[feat]
+                valid = nmf
+                w = tw[:, idx][:, None]
+
+            if cfg.parameterization == "vector-field":
+                # MSE against alpha' * (x1_onehot - x0)  (flowmol.py:363-375)
+                x0f = (ctmc.edges_to_upper(batch.e0, n) if feat == "e"
+                       else (batch.a0 if feat == "a" else batch.c0))
+                ap = alpha_prime[:, idx][:, None, None]
+                target = ap * (jax.nn.one_hot(tokens, k) - x0f)
+                se = jnp.square(logits - target) * valid[..., None]
+                losses[feat] = jnp.sum(se * w[..., None]) / jnp.maximum(
+                    jnp.sum(valid) * k, 1.0)
+                continue
+
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            if cfg.target_blur > 0:
+                # soft targets: blur + renormalize (flowmol.py:357-361)
+                soft = jax.nn.one_hot(tokens, k)
+                kb = jax.random.fold_in(blur_rng, FEAT_INDEX[feat])
+                soft = soft + jax.random.normal(kb, soft.shape) * cfg.target_blur
+                soft = jax.nn.softmax(soft, axis=-1)
+                ce = -jnp.sum(soft * logp, axis=-1)
+            else:
+                ce = -jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
+                if cfg.weight_ae and feat in ("a", "e"):
+                    pw = p_a if feat == "a" else p_e
+                    if pw is not None:
+                        cw = 1.0 - pw
+                        ce = ce * cw[tokens]
+
+            if cfg.is_ctmc:
+                # loss only where x_t is still the mask token
+                # (flowmol.py:378-384); masked-out entries contribute 0 but
+                # remain in the denominator (torch reduction='none' + .mean()).
+                is_masked = (jnp.argmax(xt, -1) == cfg.mask_idxs[feat])
+                ce = ce * is_masked
+
+            ce = ce * valid * w
+            losses[feat] = jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1.0)
+
+        total = sum(wt * losses[f]
+                    for wt, f in zip(cfg.total_loss_weights, CANONICAL_FEAT_ORDER))
+        losses["total"] = total
+        return total, losses
+
+    # ------------------------------------------------------------------ prior
+    def sample_prior(self, rng, node_mask: jnp.ndarray):
+        """Inference-time prior (flowmol.py:417-448): centered-normal x,
+        masked categorical tokens under CTMC."""
+        cfg = self.cfg
+        B, n = node_mask.shape
+        kx = rng
+        x0 = jax.random.normal(kx, (B, n, 3)) * cfg.prior_x_std
+        x0 = remove_com(x0, node_mask)
+        if not cfg.is_ctmc:
+            raise NotImplementedError(
+                "only the ctmc masked prior is supported for categorical "
+                "features at inference (flowmol.py:190-193)")
+        a0 = jnp.full((B, n), cfg.n_atom_types, jnp.int32)
+        c0 = jnp.full((B, n), cfg.n_atom_charges, jnp.int32)
+        m = n * (n - 1) // 2
+        e0 = jnp.full((B, m), cfg.n_bond_types, jnp.int32)
+        return {"x": x0, "a": a0, "c": c0, "e_up": e0}
+
+    # --------------------------------------------------------------- integrate
+    def integrate(self, params, rng, prior_state, node_mask,
+                  n_timesteps: int, stochasticity: Optional[float] = None,
+                  high_confidence_threshold: Optional[float] = None,
+                  dfm_type: Optional[str] = None,
+                  visualize: bool = False):
+        """Integrate the sampling trajectory with one lax.scan.
+
+        prior_state: dict from `sample_prior` (CTMC token states).
+        Returns final state dict (tokens for a/c/e_up, positions x) and, when
+        `visualize`, stacked per-step trajectory frames.
+        """
+        cfg = self.cfg
+        if not cfg.is_ctmc:
+            return self._integrate_continuous(params, rng, prior_state,
+                                              node_mask, n_timesteps, visualize)
+
+        samp = cfg.sampling
+        eta = samp.stochasticity if stochasticity is None else stochasticity
+        hc = (samp.high_confidence_threshold if high_confidence_threshold is None
+              else high_confidence_threshold)
+        dfm = dfm_type or samp.dfm_type
+        if dfm not in ("campbell", "gat"):
+            raise ValueError(f"invalid dfm_type {dfm}")
+
+        B, n = node_mask.shape
+        ka, kc, ke = cfg.n_atom_types, cfg.n_atom_charges, cfg.n_bond_types
+        t_grid = jnp.linspace(0.0, 1.0, n_timesteps)
+        alpha = cfg.schedule.alpha_t(t_grid)
+        alpha_prime = cfg.schedule.alpha_t_prime(t_grid)
+
+        up_valid = ctmc.upper_valid_mask(node_mask)
+
+        def onehot_state(st):
+            return (st["x"],
+                    jax.nn.one_hot(st["a"], ka + 1),
+                    jax.nn.one_hot(st["c"], kc + 1),
+                    ctmc.upper_to_dense(jax.nn.one_hot(st["e_up"], ke + 1), n))
+
+        def forward(st, t_scalar, prev_dst):
+            x, a, c, e = onehot_state(st)
+            t_vec = jnp.full((B,), t_scalar)
+            return self.net.apply(params, x, a, c, e, t_vec, node_mask,
+                                  prev_dst=prev_dst, apply_softmax=True,
+                                  remove_com=True, deterministic=True)
+
+        # first-step self-conditioning bootstrap (vector_field.py:269-283):
+        # at t=0 the previous endpoint estimate comes from a plain pass.
+        prev0 = None
+        if cfg.vf.self_conditioning:
+            x, a, c, e = onehot_state(prior_state)
+            prev0 = self.net.apply(
+                params, x, a, c, e, jnp.zeros((B,)), node_mask,
+                prev_dst=None, sc_apply_mask=jnp.zeros((B,), bool),
+                apply_softmax=True, remove_com=False, deterministic=True)
+
+        def step(carry, xs):
+            st, prev_dst, key = carry
+            t_i, alpha_i, alpha_s, ap_i, last, dt = xs
+            key, k_step = jax.random.split(key)
+            dst = forward(st, t_i, prev_dst)
+
+            # positions: Euler step on the endpoint field
+            vf = ap_i[0] / jnp.maximum(1.0 - alpha_i[0], 1e-9) * (dst["x"] - st["x"])
+            x_new = (st["x"] + dt * vf) * node_mask[..., None]
+
+            new_st = {"x": x_new}
+            keys = jax.random.split(k_step, 3)
+            for kk, feat, tok_key, kcat, midx, valid in (
+                    (keys[0], "a", "a", ka, ka, node_mask),
+                    (keys[1], "c", "c", kc, kc, node_mask),
+                    (keys[2], "e", "e_up", ke, ke, up_valid)):
+                fidx = FEAT_INDEX[feat]
+                p1 = dst[feat]
+                if feat == "e":
+                    p1 = ctmc.edges_to_upper(p1, n)
+                p1 = ctmc.sharpen(p1, samp.cat_temp(t_i))
+                if dfm == "campbell":
+                    res = ctmc.campbell_step(
+                        kk, p1, st[tok_key], stochasticity=eta, hc_thresh=hc,
+                        alpha_t=alpha_i[fidx], alpha_t_prime=ap_i[fidx], dt=dt,
+                        mask_index=midx, valid_mask=valid, last_step=last)
+                else:
+                    res = ctmc.gat_step(
+                        kk, p1, st[tok_key], alpha_t=alpha_i[fidx],
+                        alpha_t_prime=ap_i[fidx], fw=samp.fw(t_i), dt=dt,
+                        mask_index=midx, valid_mask=valid)
+                new_st[tok_key] = res.xt
+
+            new_prev = dst if cfg.vf.self_conditioning else prev_dst
+            ys = (new_st, dst) if visualize else None
+            return (new_st, new_prev, key), ys
+
+        xs = (t_grid[:-1], alpha[:-1], alpha[1:], alpha_prime[:-1],
+              jnp.arange(n_timesteps - 1) == n_timesteps - 2,
+              t_grid[1:] - t_grid[:-1])
+        (final_state, final_dst, _), traj = jax.lax.scan(
+            step, (prior_state, prev0, rng), xs)
+        if visualize:
+            return final_state, traj
+        return final_state
+
+    def _integrate_continuous(self, params, rng, prior_state, node_mask,
+                              n_timesteps: int, visualize: bool = False):
+        """Euler integration for endpoint / vector-field parameterizations
+        (vector_field.py:388-564, 607-645). State is simplex-valued."""
+        cfg = self.cfg
+        B, n = node_mask.shape
+        samp = cfg.sampling
+        t_grid = jnp.linspace(0.0, 1.0, n_timesteps)
+        alpha = cfg.schedule.alpha_t(t_grid)
+        alpha_prime = cfg.schedule.alpha_t_prime(t_grid)
+        is_vf = cfg.parameterization == "vector-field"
+
+        def forward(st, t_scalar, prev_dst):
+            t_vec = jnp.full((B,), t_scalar)
+            return self.net.apply(params, st["x"], st["a"], st["c"], st["e"],
+                                  t_vec, node_mask, prev_dst=prev_dst,
+                                  apply_softmax=not is_vf,
+                                  remove_com=not is_vf, deterministic=True)
+
+        prev0 = None
+        if cfg.vf.self_conditioning and not is_vf:
+            prev0 = self.net.apply(
+                params, prior_state["x"], prior_state["a"], prior_state["c"],
+                prior_state["e"], jnp.zeros((B,)), node_mask, prev_dst=None,
+                sc_apply_mask=jnp.zeros((B,), bool), apply_softmax=True,
+                remove_com=False, deterministic=True)
+
+        def step(carry, xs):
+            st, prev_dst, key = carry
+            t_i, alpha_i, ap_i, dt = xs
+            dst = forward(st, t_i, prev_dst)
+            inv_temp = samp.inv_temp(t_i)
+            new_st = {}
+            for feat in ("x", "a", "c", "e"):
+                fidx = FEAT_INDEX[feat]
+                x_t = st[feat]
+                if is_vf:
+                    vf = dst[feat]
+                    if feat == "x":
+                        vf = vf - x_t  # VectorField.forward subtracts x_t
+                else:
+                    vf = ap_i[fidx] / jnp.maximum(1.0 - alpha_i[fidx], 1e-9) * (
+                        dst[feat] - x_t)
+                    vf = vf * inv_temp
+                x_s = x_t + vf * dt
+                if feat == "e":
+                    # keep upper/lower triangles tied (vector_field.py:545-556)
+                    x_s = ctmc.upper_to_dense(ctmc.edges_to_upper(x_s, n), n)
+                if feat == "x":
+                    x_s = x_s * node_mask[..., None]
+                    if is_vf:
+                        x_s = remove_com(x_s, node_mask)
+                new_st[feat] = x_s
+            new_prev = (dst if (cfg.vf.self_conditioning and not is_vf)
+                        else prev_dst)
+            ys = new_st if visualize else None
+            return (new_st, new_prev, key), ys
+
+        xs = (t_grid[:-1], alpha[:-1], alpha_prime[:-1], t_grid[1:] - t_grid[:-1])
+        (final_state, _, _), traj = jax.lax.scan(
+            step, (prior_state, prev0, rng), xs)
+        if visualize:
+            return final_state, traj
+        return final_state
+
+    # ----------------------------------------------------------------- sample
+    def make_sample_fn(self, n_timesteps: Optional[int] = None,
+                       stochasticity: Optional[float] = None,
+                       high_confidence_threshold: Optional[float] = None,
+                       dfm_type: Optional[str] = None, visualize: bool = False):
+        """Return a jittable (params, rng, node_mask) -> final state function."""
+        nt = n_timesteps or self.cfg.default_n_timesteps
+
+        def fn(params, rng, node_mask):
+            k_prior, k_int = jax.random.split(rng)
+            prior = self.sample_prior(k_prior, node_mask)
+            return self.integrate(
+                params, k_int, prior, node_mask, nt,
+                stochasticity=stochasticity,
+                high_confidence_threshold=high_confidence_threshold,
+                dfm_type=dfm_type, visualize=visualize)
+
+        return fn

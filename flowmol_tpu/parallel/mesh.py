@@ -1,0 +1,74 @@
+"""Device mesh + sharding for data-parallel training and batched sampling.
+
+TPU-native replacement for the reference's Lightning DDP/NCCL stack
+(configs/flowmol3.yml:9-12, adaptive_sampler.py:18-29): a 1-D `data` mesh,
+batches sharded over it, parameters replicated, gradient reduction inserted
+by GSPMD over ICI.
+
+The molecule axis (atoms) is never sharded — molecules are small; we shard
+the batch, exactly as SURVEY.md §2.2 prescribes.  An optional `edge` mesh
+axis shards the O(N^2) pairwise-message tensors of very large molecules
+across chips (sequence-parallel analogue); off by default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard axis 0 (molecules) of every array in the batch."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_pytree(batch, mesh: Mesh, axis_name: str = "data"):
+    """Apply batch sharding to every leaf (axis 0 = molecule axis)."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+
+def jit_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
+    """jit the train step with state replicated and batch sharded over data.
+
+    GSPMD derives the gradient all-reduce (psum over ICI) automatically from
+    the output sharding constraint — no explicit collectives needed.
+    """
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, bsh, repl, None),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def jit_sample_fn(sample_fn, mesh: Mesh, axis_name: str = "data"):
+    """jit a (params, rng, node_mask) sampler with the molecule batch sharded."""
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh, axis_name)
+    return jax.jit(sample_fn, in_shardings=(repl, repl, bsh))
+
+
+def per_host_slice(n_total: int, host_id: int, n_hosts: int) -> slice:
+    """Contiguous per-host dataset fraction, mirroring the reference's
+    rank-aware sharding (adaptive_sampler.py:22-29)."""
+    per = n_total // n_hosts
+    start = host_id * per
+    end = n_total if host_id == n_hosts - 1 else start + per
+    return slice(start, end)

@@ -1,0 +1,145 @@
+"""End-to-end smoke tests: loss computation, gradients, and the scan sampler
+for each parameterization on a tiny model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowmol_tpu.model import FlowMol
+from tests.helpers import random_batch, tiny_config
+
+
+@pytest.mark.parametrize("parameterization", ["ctmc", "endpoint", "vector-field",
+                                              "dirichlet"])
+def test_loss_finite_and_grads(parameterization):
+    cfg = tiny_config(parameterization=parameterization)
+    model = FlowMol(cfg)
+    batch = random_batch(B=2, N=8, cfg=cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    def scalar_loss(p):
+        total, _ = model.loss_fn(p, batch, jax.random.PRNGKey(1))
+        return total
+
+    total, losses = model.loss_fn(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(total))
+    for f in ("x", "a", "c", "e"):
+        assert np.isfinite(float(losses[f])), f
+
+    grads = jax.grad(scalar_loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_loss_self_conditioning():
+    cfg = tiny_config(self_conditioning=True)
+    model = FlowMol(cfg)
+    batch = random_batch(B=2, N=8, cfg=cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    total, _ = model.loss_fn(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(total))
+
+
+@pytest.mark.parametrize("dfm_type", ["campbell", "gat"])
+def test_ctmc_sampler(dfm_type):
+    cfg = tiny_config(parameterization="ctmc", self_conditioning=True)
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    node_mask = jnp.array([[True] * 6 + [False] * 2,
+                           [True] * 8])
+    fn = jax.jit(model.make_sample_fn(n_timesteps=8, dfm_type=dfm_type))
+    final = fn(params, jax.random.PRNGKey(2), node_mask)
+    assert final["x"].shape == (2, 8, 3)
+    assert np.isfinite(np.asarray(final["x"])).all()
+    # tokens stay within [0, K] (mask included)
+    assert int(final["a"].max()) <= cfg.n_atom_types
+    assert int(final["e_up"].max()) <= cfg.n_bond_types
+    # padded nodes have zero positions
+    assert float(jnp.abs(final["x"][0, 6:]).max()) == 0.0
+
+
+def test_ctmc_sampler_unmasks_most_tokens():
+    """With enough steps, the campbell step should unmask nearly everything."""
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    node_mask = jnp.ones((2, 8), bool)
+    fn = jax.jit(model.make_sample_fn(n_timesteps=50, stochasticity=0.0,
+                                      high_confidence_threshold=0.0))
+    final = fn(params, jax.random.PRNGKey(3), node_mask)
+    frac_masked = float(jnp.mean(final["a"] == cfg.n_atom_types))
+    assert frac_masked < 0.2
+
+
+def test_sampler_equivariance_of_positions():
+    """The position distribution is zero-CoM by construction."""
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    node_mask = jnp.ones((2, 6), bool)
+    fn = jax.jit(model.make_sample_fn(n_timesteps=10))
+    final = fn(params, jax.random.PRNGKey(4), node_mask)
+    com = np.asarray(final["x"]).mean(1)
+    # positions get a CoM-free prior and CoM-free endpoint predictions; the
+    # Euler updates preserve the zero-CoM subspace
+    np.testing.assert_allclose(com, 0.0, atol=1e-4)
+
+
+def test_loss_padding_invariance():
+    """Loss must be identical when batch is padded with extra slots."""
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    batch = random_batch(B=2, N=8, cfg=cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # repad to N=12 with garbage in padded area
+    def pad(arr, n_extra, fill):
+        pad_width = [(0, 0), (0, n_extra)] + [(0, 0)] * (arr.ndim - 2)
+        return jnp.pad(arr, pad_width, constant_values=fill)
+
+    import dataclasses
+    b2 = dataclasses.replace(
+        batch,
+        x1=pad(batch.x1, 4, 0.0), a1=pad(batch.a1, 4, 2), c1=pad(batch.c1, 4, 1),
+        e1=pad(pad(batch.e1, 4, 0).transpose(0, 2, 1), 4, 0).transpose(0, 2, 1),
+        x0=pad(batch.x0, 4, 0.0),
+        a0=pad(batch.a0, 4, 0.0), c0=pad(batch.c0, 4, 0.0),
+        e0=pad(pad(batch.e0, 4, 0.0).transpose(0, 2, 1, 3), 4, 0.0
+               ).transpose(0, 2, 1, 3),
+        node_mask=pad(batch.node_mask, 4, False),
+    )
+
+    cfg0 = dataclasses.replace(cfg, distort_p=0.0)
+    m0 = FlowMol(cfg0)
+    # the *random draws* differ with shape, so compare the deterministic parts:
+    # run conditional path at fixed t with identical masking pattern is hard;
+    # instead check the forward pass itself is padding-invariant.
+    t = jnp.array([0.4, 0.7])
+    state1 = m0.sample_conditional_path(jax.random.PRNGKey(5), batch, t)
+    dst1 = m0.net.apply(params, state1["x"], state1["a"], state1["c"],
+                        state1["e"], t, batch.node_mask)
+
+    state2 = {
+        "x": pad(state1["x"], 4, 0.0),
+        "a": pad(state1["a"], 4, 0.0),
+        "c": pad(state1["c"], 4, 0.0),
+        "e": pad(pad(state1["e"], 4, 0.0).transpose(0, 2, 1, 3), 4, 0.0
+                 ).transpose(0, 2, 1, 3),
+    }
+    dst2 = m0.net.apply(params, state2["x"], state2["a"], state2["c"],
+                        state2["e"], t, b2.node_mask)
+    np.testing.assert_allclose(np.asarray(dst1["x"]),
+                               np.asarray(dst2["x"][:, :8]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dst1["a"]),
+                               np.asarray(dst2["a"][:, :8]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dst1["e"]),
+                               np.asarray(dst2["e"][:, :8, :8]), atol=1e-5)
+
+
+def test_endpoint_sampler_not_supported_prior():
+    cfg = tiny_config(parameterization="endpoint")
+    model = FlowMol(cfg)
+    with pytest.raises(NotImplementedError):
+        model.sample_prior(jax.random.PRNGKey(0), jnp.ones((1, 4), bool))
