@@ -7,6 +7,18 @@ step, a lax.scan sampler, and pjit data parallelism over a device mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# persistent XLA compilation cache (first compile of the full model is slow;
+# subsequent process launches reuse the cached executable)
+if not _os.environ.get("FLOWMOL_NO_COMPILE_CACHE"):
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_flowmol"))
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from flowmol_tpu.graphs import MolBatch  # noqa: F401
 
 

@@ -1,0 +1,163 @@
+"""Config factories and the public load-pretrained API.
+
+Parity targets:
+  * `read_config_file` / `model_from_config` / `data_module_from_config`
+    (/root/reference/flowmol/model_utils/load.py:7-88)
+  * `flowmol.load_pretrained` (/root/reference/flowmol/__init__.py:30-77)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import yaml
+
+from flowmol_tpu.data.dataset import DataConfig, MoleculeDataModule
+from flowmol_tpu.data.stats import NAtomsDistribution
+from flowmol_tpu.model import FlowMol, FlowMolConfig
+from flowmol_tpu.train_utils.checkpoint import CheckpointManager, load_config
+from flowmol_tpu.train_utils.optim import LRScheduleConfig
+
+REPO_ROOT = Path(__file__).parent.parent
+
+# published model registry (names mirror the reference's 22-model registry,
+# flowmol/__init__.py:5-28; checkpoints must be trained/placed locally —
+# the reference's remote .ckpt files are torch Lightning checkpoints and are
+# not loadable into this framework)
+MODEL_REGISTRY = (
+    "qm9_ctmc", "geom_ctmc", "flowmol3",
+    "qm9_gaussian", "qm9_simplexflow", "qm9_dirichlet", "qm9_ctmc_base",
+    "geom_gaussian", "geom_simplexflow", "geom_dirichlet", "geom_ctmc_base",
+)
+
+
+def read_config_file(path) -> Dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def resolve_data_dir(processed_data_dir: str) -> Path:
+    """Resolve a processed-data dir, falling back to paths relative to the
+    repo root and the converted reference assets (load.py / dataset.py
+    path-resolution behaviour)."""
+    p = Path(processed_data_dir)
+    if p.exists():
+        return p
+    for base in (REPO_ROOT, REPO_ROOT / "assets"):
+        q = base / processed_data_dir
+        if q.exists():
+            return q
+    # assets/data/<name>
+    q = REPO_ROOT / "assets" / "data" / Path(processed_data_dir).name
+    if q.exists():
+        return q
+    return p
+
+
+def model_from_config(config: Dict) -> FlowMol:
+    return FlowMol(FlowMolConfig.from_config(config))
+
+
+def data_module_from_config(config: Dict, rank: int = 0, world_size: int = 1
+                            ) -> MoleculeDataModule:
+    ds = config["dataset"]
+    mol_fm = config.get("mol_fm", {})
+    train_cfg = config.get("training", {})
+    model_cfg = FlowMolConfig.from_config(config)
+    data_cfg = DataConfig(
+        prior_config=mol_fm.get("prior_config", {}),
+        n_atom_types=model_cfg.n_atom_types,
+        n_charges=model_cfg.n_atom_charges,
+        n_bond_types=model_cfg.n_bond_types,
+        fake_atom_p=model_cfg.fake_atom_p,
+        fake_atom_std=model_cfg.fake_atom_std,
+        is_ctmc=model_cfg.is_ctmc,
+    )
+    return MoleculeDataModule(
+        resolve_data_dir(ds["processed_data_dir"]), data_cfg,
+        max_num_edges=int(train_cfg.get("max_num_edges") or 40000),
+        rank=rank, world_size=world_size,
+        dataset_size=ds.get("dataset_size"))
+
+
+def n_atoms_dist_from_config(config: Dict) -> Optional[NAtomsDistribution]:
+    d = resolve_data_dir(config["dataset"]["processed_data_dir"])
+    f = d / "train_data_n_atoms_histogram.npz"
+    if f.exists():
+        return NAtomsDistribution.load(f)
+    return None
+
+
+def lr_config_from_config(config: Dict) -> LRScheduleConfig:
+    return LRScheduleConfig.from_config(config.get("lr_scheduler", {}))
+
+
+class PretrainedModel:
+    """A loaded run: model definition + trained parameters + sampling API."""
+
+    def __init__(self, model: FlowMol, params, config: Dict,
+                 n_atoms_dist: Optional[NAtomsDistribution]):
+        self.model = model
+        self.params = params
+        self.config = config
+        self.n_atoms_dist = n_atoms_dist
+
+    def sample_random_sizes(self, n_molecules: int, n_timesteps=None,
+                            seed: int = 0, **kwargs):
+        """Parity: FlowMol.sample_random_sizes (flowmol.py:473-486)."""
+        import jax
+        import jax.numpy as jnp
+
+        from flowmol_tpu.analysis.molecule_builder import \
+            molecules_from_sampled_state
+
+        rng = np.random.default_rng(seed)
+        sizes = self.n_atoms_dist.sample(rng, n_molecules)
+        n_pad = int(np.ceil(sizes.max() / 8) * 8)
+        node_mask = np.arange(n_pad)[None, :] < sizes[:, None]
+        fn = jax.jit(self.model.make_sample_fn(n_timesteps=n_timesteps,
+                                               **kwargs))
+        final = fn(self.params, jax.random.PRNGKey(seed),
+                   jnp.asarray(node_mask))
+        final = jax.tree.map(np.asarray, final)
+        return molecules_from_sampled_state(
+            final, node_mask, self.model.cfg.atom_type_map,
+            ctmc_mol=self.model.cfg.is_ctmc,
+            fake_atoms=self.model.cfg.fake_atom_p > 0,
+            explicit_aromaticity=self.model.cfg.explicit_aromaticity)
+
+
+def load_run(run_dir) -> PretrainedModel:
+    """Load a run directory (<run>/config.yaml + <run>/checkpoints/)."""
+    import jax
+
+    from flowmol_tpu.train_utils.step import create_train_state
+
+    run_dir = Path(run_dir)
+    config = load_config(run_dir)
+    model = model_from_config(config)
+    ema_decay = float(config.get("training", {}).get("ema_decay", 0.0) or 0.0)
+    state_tpl, _ = create_train_state(model, jax.random.PRNGKey(0),
+                                      lr_config_from_config(config), ema_decay)
+    extra_tpl = {"epoch": 0, "global_step": 0}
+    ckpt = CheckpointManager(run_dir)
+    restored = ckpt.restore(template=(state_tpl, extra_tpl))
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint found under {run_dir}")
+    _, payload = restored
+    state = payload["state"]
+    params = state.ema if state.ema is not None else state.params
+    return PretrainedModel(model, params, config,
+                           n_atoms_dist_from_config(config))
+
+
+def load_pretrained(model_name: str, model_dir=None) -> PretrainedModel:
+    base = Path(model_dir) if model_dir else REPO_ROOT / "trained_models"
+    run = base / model_name
+    if not run.exists():
+        raise ValueError(
+            f"unknown or missing model '{model_name}' under {base}; "
+            f"registry: {MODEL_REGISTRY}")
+    return load_run(run)

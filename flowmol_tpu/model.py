@@ -238,7 +238,9 @@ class FlowMol:
         e = jnp.zeros((batch_size, n_nodes, n_nodes, cfg.n_bond_types + km))
         t = jnp.zeros((batch_size,))
         nm = jnp.ones((batch_size, n_nodes), bool)
-        return self.net.init({"params": rng}, x, a, c, e, t, nm)
+        # one jitted init program: eager init dispatches hundreds of tiny
+        # ops which is pathologically slow over a remote-TPU tunnel
+        return jax.jit(self.net.init)({"params": rng}, x, a, c, e, t, nm)
 
     # --------------------------------------------------------- conditional path
     def sample_conditional_path(self, rng, batch: TrainBatch, t: jnp.ndarray):

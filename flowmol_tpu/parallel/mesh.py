@@ -50,11 +50,12 @@ def jit_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
     """
     repl = replicated(mesh)
     bsh = batch_sharding(mesh, axis_name)
+    # note: no buffer donation — donation triggers backend errors on the
+    # remote-TPU (axon) platform
     return jax.jit(
         train_step,
         in_shardings=(repl, bsh, repl, None),
         out_shardings=(repl, repl),
-        donate_argnums=(0,),
     )
 
 

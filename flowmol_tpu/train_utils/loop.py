@@ -1,0 +1,195 @@
+"""The training loop: bucketed batches -> jitted train step -> metrics /
+eval / checkpoints.
+
+Replaces the reference's Lightning Trainer wiring (train.py:118-161,
+flowmol.py:227-295): manual LR stepping by `epoch_exact`, periodic in-loop
+sampling + SampleAnalyzer metrics, val-loss intervals, EMA, checkpointing,
+resume.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowmol_tpu.analysis.metrics import SampleAnalyzer
+from flowmol_tpu.analysis.molecule_builder import molecules_from_sampled_state
+from flowmol_tpu.data.dataset import MoleculeDataModule
+from flowmol_tpu.data.stats import NAtomsDistribution
+from flowmol_tpu.model import FlowMol, TrainBatch
+from flowmol_tpu.parallel import mesh as pmesh
+from flowmol_tpu.train_utils.checkpoint import CheckpointManager, MetricsLogger
+from flowmol_tpu.train_utils.optim import LRScheduleConfig
+from flowmol_tpu.train_utils.step import (TrainState, create_train_state,
+                                          make_eval_step, make_train_step)
+
+
+class Trainer:
+    def __init__(self, model: FlowMol, data: MoleculeDataModule,
+                 run_dir, lr_cfg: LRScheduleConfig,
+                 max_epochs: int = 1,
+                 ema_decay: float = 0.0,
+                 sample_interval: float = 1.0,
+                 n_mols_to_sample: int = 64,
+                 val_loss_interval: float = 1.0,
+                 limit_val_batches: Optional[float] = None,
+                 n_atoms_dist: Optional[NAtomsDistribution] = None,
+                 atom_type_map=None,
+                 processed_data_dir=None,
+                 use_mesh: bool = False,
+                 max_to_keep: int = 6,
+                 seed: int = 0,
+                 logger: Optional[MetricsLogger] = None,
+                 max_steps: Optional[int] = None):
+        self.model = model
+        self.data = data
+        self.run_dir = Path(run_dir)
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.sample_interval = sample_interval
+        self.n_mols_to_sample = n_mols_to_sample
+        self.val_loss_interval = val_loss_interval
+        self.limit_val_batches = limit_val_batches
+        self.n_atoms_dist = n_atoms_dist
+        self.atom_type_map = atom_type_map or model.cfg.atom_type_map
+        self.seed = seed
+        self.ema_decay = ema_decay
+
+        self.state, self.tx = create_train_state(
+            model, jax.random.PRNGKey(seed), lr_cfg, ema_decay)
+        train_step = make_train_step(model, self.tx, lr_cfg, ema_decay)
+        eval_step = make_eval_step(model)
+
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = pmesh.make_mesh()
+            self.train_step = pmesh.jit_train_step(train_step, self.mesh)
+            self._shard = lambda b: pmesh.shard_batch_pytree(b, self.mesh)
+        else:
+            self.mesh = None
+            self.train_step = jax.jit(train_step)
+            self._shard = lambda b: jax.tree.map(jnp.asarray, b)
+        self.eval_step = jax.jit(eval_step)
+
+        self.ckpt = CheckpointManager(self.run_dir, max_to_keep=max_to_keep)
+        self.logger = logger or MetricsLogger(self.run_dir)
+        self.analyzer = SampleAnalyzer(processed_data_dir=processed_data_dir)
+        self._sample_fns: Dict[int, object] = {}
+
+        self.epoch = 0
+        self.global_step = 0
+
+    # --------------------------------------------------------------- resume
+    def try_resume(self):
+        latest = self.ckpt.latest_step()
+        if latest is None:
+            return False
+        extra_tpl = {"epoch": 0, "global_step": 0}
+        step, restored = self.ckpt.restore(latest,
+                                           template=(self.state, extra_tpl))
+        self.state = restored["state"]
+        extra = restored.get("extra", {})
+        self.epoch = int(extra.get("epoch", 0))
+        self.global_step = int(extra.get("global_step", step))
+        print(f"resumed from checkpoint step {step} (epoch {self.epoch})")
+        return True
+
+    # ----------------------------------------------------------- in-loop eval
+    def sample_and_analyze(self, rng_seed: int) -> Dict[str, float]:
+        """In-training molecule sampling eval (flowmol.py:241-253)."""
+        if self.n_atoms_dist is None or not self.model.cfg.is_ctmc:
+            return {}
+        rng = np.random.default_rng(rng_seed)
+        sizes = self.n_atoms_dist.sample(rng, self.n_mols_to_sample)
+        n_pad = int(2 ** np.ceil(np.log2(max(sizes.max(), 8))))
+        node_mask = np.arange(n_pad)[None, :] < sizes[:, None]
+        params = self.state.ema if self.state.ema is not None else \
+            self.state.params
+        if n_pad not in self._sample_fns:
+            self._sample_fns[n_pad] = jax.jit(
+                self.model.make_sample_fn(n_timesteps=100))
+        final = self._sample_fns[n_pad](params, jax.random.PRNGKey(rng_seed),
+                                        jnp.asarray(node_mask))
+        final = jax.tree.map(np.asarray, final)
+        mols = molecules_from_sampled_state(
+            final, node_mask, self.atom_type_map, ctmc_mol=True,
+            fake_atoms=self.model.cfg.fake_atom_p > 0,
+            explicit_aromaticity=self.model.cfg.explicit_aromaticity)
+        return self.analyzer.analyze(mols)
+
+    def validate(self, rng) -> Dict[str, float]:
+        agg: Dict[str, list] = {}
+        batcher_count = 0
+        limit = self.limit_val_batches
+        np_rng = np.random.default_rng(self.seed + 999)
+        for tb in self.data.iter_split("val", np_rng):
+            m = self.eval_step(self.state.params, self._shard(tb), rng)
+            for k, v in m.items():
+                agg.setdefault(k, []).append(float(v))
+            batcher_count += 1
+            if limit is not None and limit >= 1 and batcher_count >= limit:
+                break
+        return {k: float(np.mean(v)) for k, v in agg.items()}
+
+    # ------------------------------------------------------------------ fit
+    def fit(self):
+        np_rng = np.random.default_rng(self.seed)
+        rng = jax.random.PRNGKey(self.seed + 1)
+        batches_per_epoch = max(self.data.batcher("train").n_batches_per_epoch(),
+                                1)
+        last_sample_marker = 0.0
+        last_val_marker = 0.0
+        t_start = time.time()
+        mols_seen = 0
+
+        for epoch in range(self.epoch, self.max_epochs):
+            self.epoch = epoch
+            for batch_idx, tb in enumerate(self.data.iter_split("train",
+                                                                np_rng)):
+                epoch_exact = epoch + batch_idx / batches_per_epoch
+                rng, k_step = jax.random.split(rng)
+                self.state, metrics = self.train_step(
+                    self.state, self._shard(tb), k_step,
+                    jnp.asarray(epoch_exact))
+                self.global_step += 1
+                mols_seen += tb.node_mask.shape[0]
+
+                if self.global_step % 50 == 0 or self.global_step == 1:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["epoch_exact"] = epoch_exact
+                    dt = time.time() - t_start
+                    metrics["samples_per_sec"] = mols_seen / max(dt, 1e-9)
+                    self.logger.log(metrics, step=self.global_step)
+
+                if (self.sample_interval and
+                        epoch_exact - last_sample_marker >= self.sample_interval):
+                    last_sample_marker = epoch_exact
+                    try:
+                        sm = self.sample_and_analyze(self.global_step)
+                        if sm:
+                            self.logger.log(sm, step=self.global_step)
+                    except Exception as e:  # keep training alive
+                        print(f"in-loop sampling eval failed: {e}")
+
+                if (self.val_loss_interval and
+                        epoch_exact - last_val_marker >= self.val_loss_interval):
+                    last_val_marker = epoch_exact
+                    rng, k_val = jax.random.split(rng)
+                    vm = self.validate(k_val)
+                    if vm:
+                        vm["epoch_exact"] = epoch_exact
+                        self.logger.log(vm, step=self.global_step)
+
+                if self.max_steps and self.global_step >= self.max_steps:
+                    break
+
+            self.ckpt.save(self.global_step, self.state,
+                           extra={"epoch": epoch + 1,
+                                  "global_step": self.global_step})
+            if self.max_steps and self.global_step >= self.max_steps:
+                break
+        return self.state

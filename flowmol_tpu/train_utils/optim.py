@@ -76,21 +76,20 @@ def lr_at(cfg: LRScheduleConfig, epoch_exact) -> jnp.ndarray:
 def make_optimizer(cfg: LRScheduleConfig) -> optax.GradientTransformation:
     """Adam with torch-style weight decay and an injected learning rate.
 
-    The returned transformation expects the LR via
-    `optax.inject_hyperparams`-style state: use `set_lr` below before update,
-    or simply pass a traced lr through `opt.update(..., lr=...)` wrapper.
+    Only the LR is injected (overwritten per step via `set_lr`); weight decay
+    is a static config value.
     """
-    return optax.inject_hyperparams(_adam_with_wd)(
-        lr=cfg.base_lr, weight_decay=cfg.weight_decay)
+    wd = cfg.weight_decay
 
+    def factory(lr):
+        chain = []
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        chain.append(optax.scale(-lr))
+        return optax.chain(*chain)
 
-def _adam_with_wd(lr, weight_decay):
-    chain = []
-    if weight_decay:
-        chain.append(optax.add_decayed_weights(weight_decay))
-    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-    chain.append(optax.scale(-lr))
-    return optax.chain(*chain)
+    return optax.inject_hyperparams(factory)(lr=cfg.base_lr)
 
 
 def set_lr(opt_state, lr):

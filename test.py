@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Sampling / evaluation entry point ("model testing" in the ML sense).
+
+Parity target: /root/reference/test.py — batched sampling with wall-clock
+timing, SDF/XYZ output, --metrics via SampleAnalyzer, CTMC knobs
+--stochasticity/--hc_thresh, --n_subsets CIs.
+"""
+
+import argparse
+import json
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Sample molecules from a trained model")
+    p.add_argument("--model_dir", type=Path, help="run dir (config.yaml + checkpoints/)")
+    p.add_argument("--model_name", type=str, help="name in trained_models/")
+    p.add_argument("--n_mols", type=int, default=100)
+    p.add_argument("--n_timesteps", type=int, default=250)
+    p.add_argument("--max_batch_size", type=int, default=128)
+    p.add_argument("--output_file", type=Path, default=None)
+    p.add_argument("--metrics", action="store_true")
+    p.add_argument("--metrics_file", type=Path, default=None)
+    p.add_argument("--n_subsets", type=int, default=1,
+                   help="compute 95%% CIs over n subsets")
+    p.add_argument("--stochasticity", type=float, default=None)
+    p.add_argument("--hc_thresh", type=float, default=None)
+    p.add_argument("--dfm_type", type=str, default=None)
+    p.add_argument("--baseline_comparison", action="store_true",
+                   help="pickle (mols, sampling_time) for baseline comparison")
+    p.add_argument("--seed", type=int, default=123)
+    return p.parse_args()
+
+
+def write_xyz(mols, path):
+    """Plain XYZ trajectory output (always available, unlike SDF/RDKit)."""
+    with open(path, "w") as f:
+        for mol in mols:
+            f.write(f"{mol.num_atoms}\n\n")
+            for sym, pos in zip(mol.atom_types, mol.positions):
+                f.write(f"{sym} {pos[0]:.4f} {pos[1]:.4f} {pos[2]:.4f}\n")
+
+
+def write_sdf(mols, path):
+    from rdkit import Chem
+    w = Chem.SDWriter(str(path))
+    for mol in mols:
+        if mol.rdkit_mol is not None:
+            w.write(mol.rdkit_mol)
+    w.close()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from flowmol_tpu.analysis.metrics import SampleAnalyzer
+    from flowmol_tpu.analysis.molecule_builder import (
+        HAVE_RDKIT, molecules_from_sampled_state)
+    from flowmol_tpu.api import load_pretrained, load_run, resolve_data_dir
+
+    if args.model_dir is not None:
+        pm = load_run(args.model_dir)
+    elif args.model_name is not None:
+        pm = load_pretrained(args.model_name)
+    else:
+        raise SystemExit("must specify --model_dir or --model_name")
+
+    model, params = pm.model, pm.params
+    rng = np.random.default_rng(args.seed)
+
+    # sample in chunks of max_batch_size (test.py:99-133), bucketing the pad
+    # size per chunk so XLA compiles once per (B, N_pad)
+    all_mols = []
+    sample_fns = {}
+    t0 = time.time()
+    remaining = args.n_mols
+    chunk_idx = 0
+    while remaining > 0:
+        b = min(args.max_batch_size, remaining)
+        sizes = pm.n_atoms_dist.sample(rng, b)
+        n_pad = int(np.ceil(max(sizes.max(), 8) / 16) * 16)
+        node_mask = np.arange(n_pad)[None, :] < sizes[:, None]
+        key = (b, n_pad)
+        if key not in sample_fns:
+            sample_fns[key] = jax.jit(model.make_sample_fn(
+                n_timesteps=args.n_timesteps,
+                stochasticity=args.stochasticity,
+                high_confidence_threshold=args.hc_thresh,
+                dfm_type=args.dfm_type))
+        final = sample_fns[key](params, jax.random.PRNGKey(args.seed + chunk_idx),
+                                jnp.asarray(node_mask))
+        final = jax.tree.map(np.asarray, final)
+        all_mols.extend(molecules_from_sampled_state(
+            final, node_mask, model.cfg.atom_type_map,
+            ctmc_mol=model.cfg.is_ctmc,
+            fake_atoms=model.cfg.fake_atom_p > 0,
+            explicit_aromaticity=model.cfg.explicit_aromaticity))
+        remaining -= b
+        chunk_idx += 1
+    sampling_time = time.time() - t0
+    print(f"sampled {len(all_mols)} molecules in {sampling_time:.2f}s "
+          f"({len(all_mols) / sampling_time:.2f} mols/s)")
+
+    if args.output_file is not None:
+        out = args.output_file
+        out.parent.mkdir(parents=True, exist_ok=True)
+        if args.baseline_comparison:
+            with open(out, "wb") as f:
+                pickle.dump({"rdkit_mols": [m.rdkit_mol for m in all_mols],
+                             "sampling_time": sampling_time}, f)
+        elif out.suffix == ".sdf" and HAVE_RDKIT:
+            write_sdf(all_mols, out)
+        else:
+            write_xyz(all_mols, out.with_suffix(".xyz"))
+        print(f"wrote samples -> {out}")
+
+    if args.metrics:
+        data_dir = resolve_data_dir(
+            pm.config["dataset"]["processed_data_dir"])
+        analyzer = SampleAnalyzer(processed_data_dir=data_dir)
+
+        if args.n_subsets > 1:
+            # 95% CI over subsets (test.py:158-181)
+            subsets = np.array_split(np.arange(len(all_mols)), args.n_subsets)
+            per_subset = [analyzer.analyze([all_mols[i] for i in idx],
+                                           functional_validity=True)
+                          for idx in subsets]
+            metrics = {}
+            for k in per_subset[0]:
+                vals = np.array([m[k] for m in per_subset])
+                metrics[k] = float(vals.mean())
+                metrics[f"{k}_ci"] = float(1.96 * vals.std(ddof=1)
+                                           / np.sqrt(len(vals)))
+        else:
+            metrics = analyzer.analyze(all_mols, functional_validity=True)
+        metrics["sampling_time"] = sampling_time
+        metrics["mols_per_sec"] = len(all_mols) / sampling_time
+        print(json.dumps(metrics, indent=2, default=float))
+        if args.metrics_file:
+            with open(args.metrics_file, "w") as f:
+                json.dump(metrics, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Parity target: /root/reference/train.py — config-vs-resume resolution,
+seeding, run-dir + config persistence, checkpointing/EMA, `--debug` capping.
+TPU-native: one jitted (optionally pjit data-parallel) train step; metrics to
+JSONL (+wandb if available).
+
+Usage:
+    python train.py --config=configs/dev.yml
+    python train.py --resume runs/dev_run            # resume a run dir
+    python train.py --config=... --debug             # 100-step smoke run
+"""
+
+import argparse
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a FlowMol-TPU model")
+    p.add_argument("--config", type=Path, help="YAML config file")
+    p.add_argument("--resume", type=Path, help="run dir to resume from")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--debug", action="store_true",
+                   help="cap training at 100 steps, no wandb")
+    p.add_argument("--run_name", type=str, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    # hyperparameter sweep overrides (subset of sweep_config.py:4-51)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--warmup_length", type=float)
+    p.add_argument("--max_num_edges", type=int)
+    p.add_argument("--x_loss_weight", type=float)
+    p.add_argument("--a_loss_weight", type=float)
+    p.add_argument("--c_loss_weight", type=float)
+    p.add_argument("--e_loss_weight", type=float)
+    p.add_argument("--distort_p", type=float)
+    p.add_argument("--fake_atom_p", type=float)
+    p.add_argument("--scprop", type=float)
+    p.add_argument("--n_hidden_scalars", type=int)
+    p.add_argument("--n_vec_channels", type=int)
+    p.add_argument("--n_molecule_updates", type=int)
+    return p.parse_args()
+
+
+def merge_config_and_args(config: dict, args) -> dict:
+    """CLI sweep overrides merged into the config dict
+    (parity: sweep_config.py:54-129)."""
+    if args.lr is not None:
+        config.setdefault("lr_scheduler", {})["base_lr"] = args.lr
+    if args.warmup_length is not None:
+        config["lr_scheduler"]["warmup_length"] = args.warmup_length
+    if args.max_num_edges is not None:
+        config.setdefault("training", {})["max_num_edges"] = args.max_num_edges
+    if args.batch_size is not None:
+        config.setdefault("training", {})["batch_size"] = args.batch_size
+    mol_fm = config.setdefault("mol_fm", {})
+    tlw = mol_fm.setdefault("total_loss_weights", {})
+    for feat in "xace":
+        v = getattr(args, f"{feat}_loss_weight")
+        if v is not None:
+            tlw[feat] = v
+    for k in ("distort_p", "fake_atom_p"):
+        v = getattr(args, k)
+        if v is not None:
+            mol_fm[k] = v
+    vf = config.setdefault("vector_field", {})
+    for k in ("scprop", "n_hidden_scalars", "n_vec_channels",
+              "n_molecule_updates"):
+        v = getattr(args, k)
+        if v is not None:
+            vf[k] = v
+    return config
+
+
+def main():
+    args = parse_args()
+    if args.config is None and args.resume is None:
+        raise SystemExit("must specify --config or --resume")
+
+    from flowmol_tpu.api import (data_module_from_config, lr_config_from_config,
+                                 model_from_config, n_atoms_dist_from_config,
+                                 read_config_file, resolve_data_dir)
+    from flowmol_tpu.train_utils.checkpoint import (MetricsLogger, load_config,
+                                                    save_config)
+    from flowmol_tpu.train_utils.loop import Trainer
+
+    resume = False
+    if args.resume is not None:
+        run_dir = Path(args.resume)
+        config = load_config(run_dir)
+        resume = True
+    else:
+        config = read_config_file(args.config)
+        out_root = Path(config.get("training", {}).get("output_dir", "runs"))
+        name = args.run_name or config.get("wandb", {}).get("name") or "run"
+        run_dir = out_root / f"{name.replace(' ', '_')}_{int(time.time())}"
+        run_dir.mkdir(parents=True, exist_ok=True)
+        config = merge_config_and_args(config, args)
+        save_config(run_dir, config)
+
+    np.random.seed(args.seed)
+
+    model = model_from_config(config)
+    data = data_module_from_config(config)
+    train_cfg = config.get("training", {})
+    trainer_args = train_cfg.get("trainer_args", {}) or {}
+    eval_cfg = train_cfg.get("evaluation", {}) or {}
+
+    wandb_mode = config.get("wandb", {}).get("mode", "disabled")
+    use_wandb = (wandb_mode in ("online", "offline")) and not args.debug
+    logger = MetricsLogger(run_dir, use_wandb=use_wandb,
+                           wandb_config={**config.get("wandb", {}),
+                                         "full_config": config})
+
+    trainer = Trainer(
+        model, data, run_dir,
+        lr_cfg=lr_config_from_config(config),
+        max_epochs=int(trainer_args.get("max_epochs", 1)),
+        ema_decay=float(train_cfg.get("ema_decay", 0.0) or 0.0),
+        sample_interval=float(eval_cfg.get("sample_interval", 0) or 0),
+        n_mols_to_sample=int(eval_cfg.get("mols_to_sample", 64)),
+        val_loss_interval=float(eval_cfg.get("val_loss_interval", 0) or 0),
+        limit_val_batches=trainer_args.get("limit_val_batches"),
+        n_atoms_dist=n_atoms_dist_from_config(config),
+        processed_data_dir=resolve_data_dir(
+            config["dataset"]["processed_data_dir"]),
+        use_mesh=int(trainer_args.get("devices", 1)) > 1,
+        seed=args.seed,
+        logger=logger,
+        max_steps=100 if args.debug else args.max_steps,
+    )
+
+    if resume:
+        trainer.try_resume()
+
+    print(f"training -> {run_dir}")
+    trainer.fit()
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
