@@ -13,6 +13,12 @@ import jax as _jax
 
 # persistent XLA compilation cache (first compile of the full model is slow;
 # subsequent process launches reuse the cached executable)
+# this jax build defaults to low-precision (bf16-pass) matmuls for float32
+# inputs on every backend; geometry (Kabsch, distances, norms) needs true
+# f32.  The hot message-passing loop opts into bf16 explicitly via
+# VectorFieldConfig.compute_dtype, so this only affects f32-typed math.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 if not _os.environ.get("FLOWMOL_NO_COMPILE_CACHE"):
     _jax.config.update("jax_compilation_cache_dir",
                        _os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_flowmol"))

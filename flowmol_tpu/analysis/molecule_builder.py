@@ -186,6 +186,10 @@ def molecules_from_sampled_state(state: Dict[str, np.ndarray],
     x = np.asarray(state["x"])
     a = np.asarray(state["a"])
     c = np.asarray(state["c"])
+    if a.ndim == 3:  # continuous simplex state -> tokens
+        a = a.argmax(-1)
+    if c.ndim == 3:
+        c = c.argmax(-1)
     nm = np.asarray(node_mask)
     B, n_pad = nm.shape
     iu, ju = np.triu_indices(n_pad, 1)

@@ -95,6 +95,9 @@ class FlowMolConfig:
     schedule: InterpolantSchedule = InterpolantSchedule()
     vf: VectorFieldConfig = None  # type: ignore[assignment]
     sampling: SamplingConfig = SamplingConfig()
+    # full prior_config dict (per-modality type/align/kwargs), used for
+    # inference-time prior sampling of non-CTMC parameterizations
+    prior_config: Any = None
 
     @property
     def n_atom_types(self) -> int:
@@ -173,6 +176,7 @@ class FlowMolConfig:
             schedule=schedule,
             vf=vf,
             sampling=SamplingConfig(**samp_kw),
+            prior_config=prior_cfg,
         )
 
 
@@ -227,6 +231,21 @@ class FlowMol:
             raise ValueError("FlowMolConfig.vf must be set")
         self.cfg = cfg
         self.net = MolGVPNet(cfg.vf)
+        self._dirichlet_flows = None
+
+    @property
+    def dirichlet_flows(self):
+        """Per-modality DirichletConditionalFlow tables (built lazily;
+        parity: vector_field.py:650-656)."""
+        if self._dirichlet_flows is None:
+            from flowmol_tpu.fm.dirichlet import DirichletConditionalFlow
+            w_max = self.cfg.dirichlet_w_max
+            self._dirichlet_flows = {
+                f: DirichletConditionalFlow.build(
+                    self.cfg.n_cats[f], alpha_min=0.0, alpha_max=w_max + 2)
+                for f in ("a", "c", "e")
+            }
+        return self._dirichlet_flows
 
     # ------------------------------------------------------------------ init
     def init_params(self, rng, batch_size: int = 2, n_nodes: int = 8):
@@ -417,22 +436,60 @@ class FlowMol:
 
     # ------------------------------------------------------------------ prior
     def sample_prior(self, rng, node_mask: jnp.ndarray):
-        """Inference-time prior (flowmol.py:417-448): centered-normal x,
-        masked categorical tokens under CTMC."""
+        """Inference-time prior (flowmol.py:417-448): centered-normal x;
+        masked categorical tokens under CTMC, simplex priors otherwise."""
         cfg = self.cfg
         B, n = node_mask.shape
-        kx = rng
+        kx, kcat = jax.random.split(rng)
         x0 = jax.random.normal(kx, (B, n, 3)) * cfg.prior_x_std
         x0 = remove_com(x0, node_mask)
-        if not cfg.is_ctmc:
-            raise NotImplementedError(
-                "only the ctmc masked prior is supported for categorical "
-                "features at inference (flowmol.py:190-193)")
-        a0 = jnp.full((B, n), cfg.n_atom_types, jnp.int32)
-        c0 = jnp.full((B, n), cfg.n_atom_charges, jnp.int32)
-        m = n * (n - 1) // 2
-        e0 = jnp.full((B, m), cfg.n_bond_types, jnp.int32)
-        return {"x": x0, "a": a0, "c": c0, "e_up": e0}
+        if cfg.is_ctmc:
+            a0 = jnp.full((B, n), cfg.n_atom_types, jnp.int32)
+            c0 = jnp.full((B, n), cfg.n_atom_charges, jnp.int32)
+            m = n * (n - 1) // 2
+            e0 = jnp.full((B, m), cfg.n_bond_types, jnp.int32)
+            return {"x": x0, "a": a0, "c": c0, "e_up": e0}
+        return {"x": x0, **self._sample_categorical_priors(kcat, (B, n))}
+
+    def _sample_categorical_priors(self, rng, bn: Tuple[int, int]):
+        """Simplex-valued categorical priors for continuous parameterizations
+        (the reference's inference_prior_register, priors.py:255-264).
+
+        Note the current reference *gates these off* (flowmol.py:190-193
+        raises for any non-ctmc categorical prior); we keep them working for
+        FlowMol1-style endpoint/dirichlet sampling."""
+        from flowmol_tpu.data import priors as jp
+        cfg = self.cfg
+        B, n = bn
+        pc = cfg.prior_config or {}
+        out = {}
+        keys = jax.random.split(rng, 3)
+        for key, feat in zip(keys, ("a", "c", "e")):
+            fc = pc.get(feat, {"type": "uniform-simplex", "kwargs": {}})
+            ptype = fc.get("type", "uniform-simplex")
+            kw = fc.get("kwargs", {}) or {}
+            k = cfg.n_cats[feat]
+            shape = (B, n * (n - 1) // 2, k) if feat == "e" else (B, n, k)
+            if ptype == "gaussian":
+                s = jp.gaussian_simplex(key, shape, **kw)
+            elif ptype == "barycenter":
+                s = jp.barycenter(key, shape, **kw)
+            elif ptype == "uniform-simplex":
+                s = jp.uniform_simplex(key, shape)
+            elif ptype == "biased-simplex":
+                s = jp.biased_simplex(key, shape, **kw)
+            elif ptype == "marginal":
+                s = jp.marginal(key, shape, p=jnp.asarray(kw["p"]))
+            elif ptype == "c-given-a":
+                s = jp.c_given_a(key, shape, out["a"],
+                                 p_c_given_a=jnp.asarray(kw["p_c_given_a"]))
+            else:
+                raise NotImplementedError(
+                    f"inference prior '{ptype}' for feature {feat}")
+            if feat == "e":
+                s = ctmc.upper_to_dense(s, n)
+            out[feat] = s
+        return out
 
     # --------------------------------------------------------------- integrate
     def integrate(self, params, rng, prior_state, node_mask,
@@ -447,6 +504,9 @@ class FlowMol:
         `visualize`, stacked per-step trajectory frames.
         """
         cfg = self.cfg
+        if cfg.parameterization == "dirichlet":
+            return self._integrate_dirichlet(params, rng, prior_state,
+                                             node_mask, n_timesteps, visualize)
         if not cfg.is_ctmc:
             return self._integrate_continuous(params, rng, prior_state,
                                               node_mask, n_timesteps, visualize)
@@ -595,6 +655,69 @@ class FlowMol:
             return (new_st, new_prev, key), ys
 
         xs = (t_grid[:-1], alpha[:-1], alpha_prime[:-1], t_grid[1:] - t_grid[:-1])
+        (final_state, _, _), traj = jax.lax.scan(
+            step, (prior_state, prev0, rng), xs)
+        if visualize:
+            return final_state, traj
+        return final_state
+
+    def _integrate_dirichlet(self, params, rng, prior_state, node_mask,
+                             n_timesteps: int, visualize: bool = False):
+        """Dirichlet marginal-vector-field integration
+        (vector_field.py:700-803), with the c_factor table resident on
+        device (see fm/dirichlet.py)."""
+        from flowmol_tpu.fm.dirichlet import dirichlet_marginal_step
+
+        cfg = self.cfg
+        B, n = node_mask.shape
+        flows = self.dirichlet_flows
+        t_grid = jnp.linspace(0.0, 1.0, n_timesteps)
+        alpha = cfg.schedule.alpha_t(t_grid)
+        alpha_prime = cfg.schedule.alpha_t_prime(t_grid)
+        w_grid = alpha * cfg.dirichlet_w_max + 1.0  # alpha_to_w
+
+        def forward(st, t_scalar, prev_dst):
+            t_vec = jnp.full((B,), t_scalar)
+            return self.net.apply(params, st["x"], st["a"], st["c"], st["e"],
+                                  t_vec, node_mask, prev_dst=prev_dst,
+                                  apply_softmax=True, remove_com=True,
+                                  deterministic=True)
+
+        prev0 = None
+        if cfg.vf.self_conditioning:
+            prev0 = self.net.apply(
+                params, prior_state["x"], prior_state["a"], prior_state["c"],
+                prior_state["e"], jnp.zeros((B,)), node_mask, prev_dst=None,
+                sc_apply_mask=jnp.zeros((B,), bool), apply_softmax=True,
+                remove_com=False, deterministic=True)
+
+        def step(carry, xs):
+            st, prev_dst, key = carry
+            t_i, alpha_i, ap_i, w_i, w_s, dt = xs
+            dst = forward(st, t_i, prev_dst)
+
+            vf = ap_i[0] / jnp.maximum(1.0 - alpha_i[0], 1e-9) * (
+                dst["x"] - st["x"])
+            new_st = {"x": (st["x"] + dt * vf) * node_mask[..., None]}
+
+            for feat, fidx in (("a", 1), ("c", 2), ("e", 3)):
+                x_t = st[feat]
+                p1 = dst[feat]
+                if feat == "e":
+                    x_t = ctmc.edges_to_upper(x_t, n)
+                    p1 = ctmc.edges_to_upper(p1, n)
+                x_s = dirichlet_marginal_step(flows[feat], x_t, p1,
+                                              w_i[fidx], w_s[fidx])
+                if feat == "e":
+                    x_s = ctmc.upper_to_dense(x_s, n)
+                new_st[feat] = x_s
+
+            new_prev = dst if cfg.vf.self_conditioning else prev_dst
+            ys = new_st if visualize else None
+            return (new_st, new_prev, key), ys
+
+        xs = (t_grid[:-1], alpha[:-1], alpha_prime[:-1], w_grid[:-1],
+              w_grid[1:], t_grid[1:] - t_grid[:-1])
         (final_state, _, _), traj = jax.lax.scan(
             step, (prior_state, prev0, rng), xs)
         if visualize:

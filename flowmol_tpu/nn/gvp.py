@@ -41,6 +41,9 @@ class GVP(nn.Module):
     Input/output are (scalars, vectors) with shapes (..., s_in) and
     (..., v_in, 3).  Rotation-equivariant in the vector channel, invariant in
     the scalar channel.
+
+    `dtype` is the matmul compute dtype (params stay float32); norms and
+    activations that feed geometry stay in float32.
     """
 
     v_in: int
@@ -52,6 +55,7 @@ class GVP(nn.Module):
     vector_gating: bool = True
     scalar_act: str = "silu"
     vector_act: str = "sigmoid"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, sv: Tuple[jnp.ndarray, jnp.ndarray]):
@@ -60,31 +64,34 @@ class GVP(nn.Module):
             f"vectors have wrong shape {v.shape}, expected (..., {self.v_in}, 3)")
         assert s.shape[-1] == self.s_in, (
             f"scalars have wrong shape {s.shape}, expected (..., {self.s_in})")
+        dt = self.dtype or s.dtype
 
         dim_h = self.hidden_vectors or max(self.v_in, self.v_out)
         wh = self.param("Wh", torch_uniform, (self.v_in, dim_h))
-        vh = jnp.einsum("...vc,vh->...hc", v, wh)
+        vh = jnp.einsum("...vc,vh->...hc", v.astype(dt), wh.astype(dt))
 
         if self.n_cp_feats > 0:
             wcp = self.param("Wcp", torch_uniform, (self.v_in, 2 * self.n_cp_feats))
-            vcp = jnp.einsum("...vc,vp->...pc", v, wcp)
+            vcp = jnp.einsum("...vc,vp->...pc", v.astype(dt), wcp.astype(dt))
             cp_src, cp_dst = jnp.split(vcp, 2, axis=-2)
             cp = jnp.cross(cp_src, cp_dst)
             vh = jnp.concatenate([vh, cp], axis=-2)
 
         wu = self.param("Wu", torch_uniform, (dim_h + self.n_cp_feats, self.v_out))
-        vu = jnp.einsum("...hc,hu->...uc", vh, wu)
+        vu = jnp.einsum("...hc,hu->...uc", vh, wu.astype(dt))
 
-        sh = norm_no_nan(vh, axis=-1)
-        s_out = _dense(self.s_out, name="to_feats_out")(
-            jnp.concatenate([s, sh], axis=-1))
+        sh = norm_no_nan(vh.astype(jnp.float32), axis=-1)
+        s_out = nn.Dense(self.s_out, kernel_init=torch_uniform, dtype=dt,
+                         name="to_feats_out")(
+            jnp.concatenate([s.astype(dt), sh.astype(dt)], axis=-1))
         s_out = _activation(self.scalar_act)(s_out)
 
         if self.vector_gating:
-            gate = _dense(self.v_out, name="scalar_to_vector_gates")(s_out)
+            gate = nn.Dense(self.v_out, kernel_init=torch_uniform, dtype=dt,
+                            name="scalar_to_vector_gates")(s_out)
         else:
-            gate = norm_no_nan(vu, axis=-1)
-        v_out = _activation(self.vector_act)(gate)[..., None] * vu
+            gate = norm_no_nan(vu.astype(jnp.float32), axis=-1)
+        v_out = _activation(self.vector_act)(gate).astype(dt)[..., None] * vu
         return s_out, v_out
 
 
@@ -104,6 +111,7 @@ class GVPChain(nn.Module):
     dims: Sequence[Tuple[int, int, int, int]]
     n_cp_feats: int = 0
     last_vector_act: str = "sigmoid"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, sv):
@@ -111,8 +119,92 @@ class GVPChain(nn.Module):
             vact = self.last_vector_act if i == len(self.dims) - 1 else "sigmoid"
             sv = GVP(v_in=v_in, v_out=v_out, s_in=s_in, s_out=s_out,
                      n_cp_feats=self.n_cp_feats, vector_act=vact,
-                     name=f"gvp_{i}")(sv)
+                     dtype=self.dtype, name=f"gvp_{i}")(sv)
         return sv
+
+
+class PairGVP(nn.Module):
+    """The first message GVP, factored for the dense pairwise layout.
+
+    Mathematically identical to a GVP over per-pair concatenated inputs
+    [s_src, rbf(d), ef, (s_dst)] / [x_diff, v_src, (v_dst)] (the reference's
+    `GVPConv.message`, gvp.py:523-543), but all node-sourced matmuls run once
+    per *node* and are broadcast-added per pair — turning the dominant
+    O(N^2 · D · H) matmuls into O(N · D · H) + cheap adds.  Only genuinely
+    per-edge inputs (distance RBF, edge features, vector norms) pay O(N^2)
+    matmul cost.
+    """
+
+    s_src_dim: int
+    s_edge_dim: int          # rbf + edge features (per-pair scalars)
+    s_dst_dim: int           # 0 when use_dst_feats is off
+    v_src_dim: int
+    v_dst_dim: int           # 0 when use_dst_feats is off
+    s_out: int
+    v_out: int
+    n_cp_feats: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, sc, d_ef, s_dst, x_diff, vc, v_dst, pair_mask):
+        """sc (B,N,Ds), d_ef (B,N,N,Dde), s_dst (B,N,Dsd)|None,
+        x_diff (B,N,N,3), vc (B,N,Dv,3), v_dst (B,N,Dvd,3)|None."""
+        dt = self.dtype or sc.dtype
+        v_in = 1 + self.v_src_dim + self.v_dst_dim
+        dim_h = max(v_in, self.v_out)
+
+        # ---- vector channel: Vh = Wh^T [x_diff; v_src; v_dst] --------------
+        wh = self.param("Wh", torch_uniform, (v_in, dim_h)).astype(dt)
+        wh_x, wh_src = wh[0], wh[1:1 + self.v_src_dim]
+        vh = jnp.einsum("bijc,h->bijhc", x_diff.astype(dt), wh_x)
+        vh_src = jnp.einsum("bnvc,vh->bnhc", vc.astype(dt), wh_src)
+        vh = vh + vh_src[:, None, :, :, :]
+        if self.v_dst_dim:
+            wh_dst = wh[1 + self.v_src_dim:]
+            vh_dst = jnp.einsum("bnvc,vh->bnhc", v_dst.astype(dt), wh_dst)
+            vh = vh + vh_dst[:, :, None, :, :]
+
+        if self.n_cp_feats > 0:
+            wcp = self.param("Wcp", torch_uniform,
+                             (v_in, 2 * self.n_cp_feats)).astype(dt)
+            wcp_x, wcp_src = wcp[0], wcp[1:1 + self.v_src_dim]
+            vcp = jnp.einsum("bijc,p->bijpc", x_diff.astype(dt), wcp_x)
+            vcp = vcp + jnp.einsum("bnvc,vp->bnpc", vc.astype(dt),
+                                   wcp_src)[:, None]
+            if self.v_dst_dim:
+                vcp = vcp + jnp.einsum(
+                    "bnvc,vp->bnpc", v_dst.astype(dt),
+                    wcp[1 + self.v_src_dim:])[:, :, None]
+            cp_a, cp_b = jnp.split(vcp, 2, axis=-2)
+            vh = jnp.concatenate([vh, jnp.cross(cp_a, cp_b)], axis=-2)
+
+        wu = self.param("Wu", torch_uniform,
+                        (dim_h + self.n_cp_feats, self.v_out))
+        vu = jnp.einsum("bijhc,hu->bijuc", vh, wu.astype(dt))
+        sh = norm_no_nan(vh.astype(jnp.float32), axis=-1)
+
+        # ---- scalar channel: Dense over [s_src, d_ef, (s_dst), sh] ---------
+        k_src = self.param("K_src", torch_uniform, (self.s_src_dim, self.s_out))
+        k_edge = self.param("K_edge", torch_uniform,
+                            (self.s_edge_dim, self.s_out))
+        k_sh = self.param("K_sh", torch_uniform,
+                          (dim_h + self.n_cp_feats, self.s_out))
+        bias = self.param("bias", nn.initializers.zeros, (self.s_out,))
+        y = jnp.einsum("bijd,do->bijo", d_ef.astype(dt), k_edge.astype(dt))
+        y = y + jnp.einsum("bijh,ho->bijo", sh.astype(dt), k_sh.astype(dt))
+        y = y + jnp.einsum("bnd,do->bno", sc.astype(dt),
+                           k_src.astype(dt))[:, None]
+        if self.s_dst_dim:
+            k_dst = self.param("K_dst", torch_uniform,
+                               (self.s_dst_dim, self.s_out))
+            y = y + jnp.einsum("bnd,do->bno", s_dst.astype(dt),
+                               k_dst.astype(dt))[:, :, None]
+        s_out = jax.nn.silu(y + bias.astype(dt))
+
+        gate = nn.Dense(self.v_out, kernel_init=torch_uniform, dtype=dt,
+                        name="scalar_to_vector_gates")(s_out)
+        v_out = jax.nn.sigmoid(gate).astype(dt)[..., None] * vu
+        return s_out, v_out
 
 
 class GVPLayerNorm(nn.Module):
@@ -204,6 +296,7 @@ class GVPConv(nn.Module):
     edge_feat_size: int = 0
     message_norm: Union[float, str] = 10
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, s, v, ef, x_diff, d, pair_mask, node_mask,
@@ -232,7 +325,8 @@ class GVPConv(nn.Module):
                     s_out = max(s_msg, self.scalar_size)
                     v_out = max(v_msg, self.vector_size)
                 dims.append((v_in, v_out, s_in, s_out))
-            sc, vc = GVPChain(dims, self.n_cp_feats, name="node_compression")((sc, vc))
+            sc, vc = GVPChain(dims, self.n_cp_feats, dtype=self.dtype,
+                              name="node_compression")((sc, vc))
 
         # --- destination-node features for messages --------------------------
         s_dst_dim = v_dst_dim = 0
@@ -243,40 +337,32 @@ class GVPConv(nn.Module):
                 v_dst_dim = int(v_msg / self.dst_feat_msg_reduction_factor)
                 s_dst, v_dst = GVP(v_in=v_msg, v_out=v_dst_dim, s_in=s_msg,
                                    s_out=s_dst_dim, n_cp_feats=0,
+                                   dtype=self.dtype,
                                    name="dst_feat_msg_projection")((sc, vc))
             else:
                 s_dst_dim, v_dst_dim = s_msg, v_msg
                 s_dst, v_dst = sc, vc
 
         extra_scalar = 2 * self.n_heads if self.attention else 0
+        dt = self.dtype
 
-        # --- build per-pair message inputs ------------------------------------
-        # [b, i, j]: j is the source node, i the destination.
-        scalar_parts = [
-            jnp.broadcast_to(sc[:, None, :, :], (B, N, N, sc.shape[-1])),
-            d,
-        ]
-        if self.edge_feat_size > 0:
-            scalar_parts.append(ef)
-        if self.use_dst_feats:
-            scalar_parts.append(
-                jnp.broadcast_to(s_dst[:, :, None, :], (B, N, N, s_dst_dim)))
-        msg_s = jnp.concatenate(scalar_parts, axis=-1)
-
-        vec_parts = [
-            x_diff[:, :, :, None, :],
-            jnp.broadcast_to(vc[:, None, :, :, :], (B, N, N) + vc.shape[-2:]),
-        ]
-        if self.use_dst_feats:
-            vec_parts.append(
-                jnp.broadcast_to(v_dst[:, :, None, :, :], (B, N, N, v_dst_dim, 3)))
-        msg_v = jnp.concatenate(vec_parts, axis=-2)
-
-        # --- message GVP stack -------------------------------------------------
+        # --- message GVP stack ---------------------------------------------
+        # [b, i, j]: j is the source node, i the destination.  Layer 0 is the
+        # factored PairGVP (node-sourced matmuls run per node, not per pair);
+        # remaining layers operate on the per-pair hidden state.
         dims = _message_stack_dims(
             self.scalar_size, self.vector_size, s_msg, v_msg, self.n_message_gvps,
             extra_scalar, self.rbf_dim, self.edge_feat_size, s_dst_dim, v_dst_dim)
-        msg_s, msg_v = GVPChain(dims, self.n_cp_feats, name="edge_message")((msg_s, msg_v))
+        d_ef = jnp.concatenate([d, ef], axis=-1) if self.edge_feat_size > 0 else d
+        _, v0_out, _, s0_out = dims[0]
+        msg_s, msg_v = PairGVP(
+            s_src_dim=s_msg, s_edge_dim=d_ef.shape[-1], s_dst_dim=s_dst_dim,
+            v_src_dim=v_msg, v_dst_dim=v_dst_dim, s_out=s0_out, v_out=v0_out,
+            n_cp_feats=self.n_cp_feats, dtype=dt,
+            name="edge_message_0")(sc, d_ef, s_dst, x_diff, vc, v_dst, pair_mask)
+        if len(dims) > 1:
+            msg_s, msg_v = GVPChain(dims[1:], self.n_cp_feats, dtype=dt,
+                                    name="edge_message")((msg_s, msg_v))
 
         # --- attention over incoming edges --------------------------------------
         if self.attention:
@@ -294,12 +380,12 @@ class GVPConv(nn.Module):
             msg_s = msg_s * s_att
             msg_v = msg_v * v_att[..., None]
 
-        # --- masked aggregation ---------------------------------------------------
+        # --- masked aggregation (accumulate in f32) ---------------------------
         pmf = pair_mask[..., None].astype(msg_s.dtype)
-        agg_s = jnp.sum(msg_s * pmf, axis=2)
-        agg_v = jnp.sum(msg_v * pmf[..., None], axis=2)
+        agg_s = jnp.sum(msg_s * pmf, axis=2, dtype=jnp.float32)
+        agg_v = jnp.sum(msg_v * pmf[..., None], axis=2, dtype=jnp.float32)
         if self.message_norm == "mean":
-            cnt = jnp.maximum(jnp.sum(pmf, axis=2), 1.0)
+            cnt = jnp.maximum(jnp.sum(pmf, axis=2, dtype=jnp.float32), 1.0)
             agg_s = agg_s / cnt
             agg_v = agg_v / cnt[..., None]
         elif self.message_norm == "sum":
@@ -316,21 +402,23 @@ class GVPConv(nn.Module):
                 s_in = s_msg if i == 0 else self.scalar_size
                 v_in = v_msg if i == 0 else self.vector_size
                 dims.append((v_in, self.vector_size, s_in, self.scalar_size))
-            agg_s, agg_v = GVPChain(dims, self.n_cp_feats, name="message_expansion")(
-                (agg_s, agg_v))
+            agg_s, agg_v = GVPChain(dims, self.n_cp_feats, dtype=self.dtype,
+                                    name="message_expansion")((agg_s, agg_v))
 
-        # --- residual / norm / node update ----------------------------------------
+        # --- residual / norm / node update (f32) -------------------------------
         drop = GVPDropout(self.dropout)
         agg_s, agg_v = drop((agg_s, agg_v), deterministic)
-        s1 = s + agg_s
-        v1 = v + agg_v
+        s1 = s.astype(jnp.float32) + agg_s.astype(jnp.float32)
+        v1 = v.astype(jnp.float32) + agg_v.astype(jnp.float32)
         s1, v1 = GVPLayerNorm(name="message_layer_norm")((s1, v1))
 
         upd_dims = [(self.vector_size, self.vector_size,
                      self.scalar_size, self.scalar_size)] * self.n_update_gvps
-        su, vu = GVPChain(upd_dims, self.n_cp_feats, name="node_update")((s1, v1))
+        su, vu = GVPChain(upd_dims, self.n_cp_feats, dtype=self.dtype,
+                          name="node_update")((s1, v1))
         su, vu = drop((su, vu), deterministic)
-        s2, v2 = GVPLayerNorm(name="update_layer_norm")((s1 + su, v1 + vu))
+        s2, v2 = GVPLayerNorm(name="update_layer_norm")(
+            (s1 + su.astype(jnp.float32), v1 + vu.astype(jnp.float32)))
 
         # zero out padded nodes so garbage never propagates
         nm = node_mask[..., None].astype(s2.dtype)
@@ -372,18 +460,28 @@ class EdgeUpdate(nn.Module):
     n_edge_feats: int
     update_edge_w_distance: bool = False
     rbf_dim: int = 16
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, node_s, ef, d):
-        B, N = node_s.shape[:2]
-        parts = [
-            jnp.broadcast_to(node_s[:, None, :, :], (B, N, N, node_s.shape[-1])),  # src j
-            jnp.broadcast_to(node_s[:, :, None, :], (B, N, N, node_s.shape[-1])),  # dst i
-            ef,
-        ]
+        dt = self.dtype or node_s.dtype
+        ns = self.n_node_scalars
+        # factored first Dense over [s_src, s_dst, ef, (d)]: the two node
+        # blocks of the kernel apply per node and broadcast-add per pair
+        k_src = self.param("K_src", torch_uniform, (ns, self.n_edge_feats))
+        k_dst = self.param("K_dst", torch_uniform, (ns, self.n_edge_feats))
+        k_ef = self.param("K_ef", torch_uniform,
+                          (ef.shape[-1], self.n_edge_feats))
+        bias = self.param("bias", nn.initializers.zeros, (self.n_edge_feats,))
+        nsd = node_s.astype(dt)
+        h = jnp.einsum("bijd,do->bijo", ef.astype(dt), k_ef.astype(dt))
+        h = h + jnp.einsum("bnd,do->bno", nsd, k_src.astype(dt))[:, None]
+        h = h + jnp.einsum("bnd,do->bno", nsd, k_dst.astype(dt))[:, :, None]
         if self.update_edge_w_distance:
-            parts.append(d)
-        h = jnp.concatenate(parts, axis=-1)
-        h = jax.nn.silu(_dense(self.n_edge_feats)(h))
-        h = jax.nn.silu(_dense(self.n_edge_feats)(h))
-        return nn.LayerNorm()(ef + h)
+            k_d = self.param("K_d", torch_uniform,
+                             (d.shape[-1], self.n_edge_feats))
+            h = h + jnp.einsum("bijd,do->bijo", d.astype(dt), k_d.astype(dt))
+        h = jax.nn.silu(h + bias.astype(dt))
+        h = jax.nn.silu(nn.Dense(self.n_edge_feats, kernel_init=torch_uniform,
+                                 dtype=dt)(h))
+        return nn.LayerNorm()(ef.astype(jnp.float32) + h.astype(jnp.float32))

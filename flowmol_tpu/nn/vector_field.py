@@ -67,6 +67,13 @@ class VectorFieldConfig:
     use_dst_feats: bool = False
     dst_feat_msg_reduction_factor: float = 4
     remat: bool = True
+    # matmul compute dtype for the message-passing hot loop; residuals,
+    # layernorms and all geometry stay float32
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
     @property
     def n_cat_feats(self) -> Dict[str, int]:
@@ -178,6 +185,7 @@ class MolGVPNet(nn.Module):
                 dropout=c.dropout,
                 use_dst_feats=c.use_dst_feats,
                 dst_feat_msg_reduction_factor=c.dst_feat_msg_reduction_factor,
+                dtype=c.dtype,
             )
             for _ in range(c.convs_per_update * c.n_molecule_updates)
         ]
@@ -191,7 +199,7 @@ class MolGVPNet(nn.Module):
         self.edge_updaters = [
             EdgeUpdate(c.n_hidden_scalars, c.n_hidden_edge_feats,
                        update_edge_w_distance=c.update_edge_w_distance,
-                       rbf_dim=c.rbf_dim)
+                       rbf_dim=c.rbf_dim, dtype=c.dtype)
             for _ in range(n_updaters)
         ]
 
@@ -220,8 +228,14 @@ class MolGVPNet(nn.Module):
         parts.append(t_emb)
         s = self.scalar_embedding(jnp.concatenate(parts, axis=-1))
 
-        ef_in = e_t if self.e_embed is None else self.e_embed(jnp.argmax(e_t, -1))
-        ef = self.edge_embedding(ef_in)
+        if self.e_embed is None:
+            ef = self.edge_embedding(e_t)
+        else:
+            # only K+1 distinct bond tokens exist: run the embedding MLP on
+            # the (K+1, token_dim) table once and gather, instead of a
+            # B*N^2-row matmul
+            table = self.edge_embedding(self.e_embed.embedding)
+            ef = table[jnp.argmax(e_t, -1)]
 
         v = jnp.zeros(s.shape[:2] + (c.n_vec_channels, 3), dtype=s.dtype)
         s = s * node_mask[..., None]

@@ -37,6 +37,7 @@ def tiny_config(parameterization="ctmc", self_conditioning=False,
         e_token_dim=8 if parameterization == "ctmc" else 0,
         self_conditioning=self_conditioning,
         remat=False,
+        compute_dtype=vf_overrides.pop("compute_dtype", "float32"),
         **vf_overrides,
     )
     return FlowMolConfig(

@@ -25,11 +25,11 @@ def test_cosine_schedule_golden():
     a = np.asarray(sch.alpha_t(jnp.array(t)))
     for i, nu in enumerate(nus):
         expected = 1 - np.cos(np.pi * 0.5 * t**nu) ** 2
-        np.testing.assert_allclose(a[:, i], expected, atol=1e-5)
+        np.testing.assert_allclose(a[:, i], expected, atol=1e-5, rtol=1e-4)
     ap = np.asarray(sch.alpha_t_prime(jnp.array(t)))
     for i, nu in enumerate(nus):
         expected = np.pi * 0.5 * np.sin(np.pi * t**nu) * nu * t ** (nu - 1)
-        np.testing.assert_allclose(ap[:, i], expected, atol=1e-5)
+        np.testing.assert_allclose(ap[:, i], expected, atol=1e-4)
 
 
 def test_mixed_schedule_from_config():
@@ -39,8 +39,8 @@ def test_mixed_schedule_from_config():
     sch = InterpolantSchedule.from_config(cfg)
     t = jnp.array([0.3])
     a = np.asarray(sch.alpha_t(t))[0]
-    assert a[0] == pytest.approx(1 - np.cos(np.pi * 0.5 * 0.3**2) ** 2)
-    assert a[1] == pytest.approx(0.3)
+    assert a[0] == pytest.approx(1 - np.cos(np.pi * 0.5 * 0.3**2) ** 2, abs=1e-6)
+    assert a[1] == pytest.approx(0.3, abs=1e-6)
 
 
 def test_loss_weights_clamped():

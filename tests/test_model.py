@@ -138,8 +138,34 @@ def test_loss_padding_invariance():
                                np.asarray(dst2["e"][:, :8, :8]), atol=1e-5)
 
 
-def test_endpoint_sampler_not_supported_prior():
-    cfg = tiny_config(parameterization="endpoint")
+@pytest.mark.parametrize("parameterization", ["endpoint", "dirichlet"])
+def test_continuous_samplers(parameterization):
+    """FlowMol1-style sampling with simplex priors (endpoint + dirichlet)."""
+    import dataclasses
+
+    cfg = tiny_config(parameterization=parameterization)
+    cfg = dataclasses.replace(cfg, prior_config={
+        "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
+        "a": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+        "c": {"align": False, "type": "barycenter", "kwargs": {}},
+        "e": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+    })
     model = FlowMol(cfg)
-    with pytest.raises(NotImplementedError):
-        model.sample_prior(jax.random.PRNGKey(0), jnp.ones((1, 4), bool))
+    params = model.init_params(jax.random.PRNGKey(0))
+    node_mask = jnp.ones((2, 6), bool)
+    fn = jax.jit(model.make_sample_fn(n_timesteps=8))
+    final = fn(params, jax.random.PRNGKey(1), node_mask)
+    assert final["x"].shape == (2, 6, 3)
+    assert final["a"].shape == (2, 6, cfg.n_atom_types)
+    assert np.isfinite(np.asarray(final["x"])).all()
+    if parameterization == "dirichlet":
+        # simplex-valued states stay on the simplex
+        sums = np.asarray(final["a"]).sum(-1)
+        np.testing.assert_allclose(sums, 1.0, atol=1e-3)
+    # molecule extraction from continuous states works
+    from flowmol_tpu.analysis.molecule_builder import \
+        molecules_from_sampled_state
+    mols = molecules_from_sampled_state(
+        jax.tree.map(np.asarray, final), np.ones((2, 6), bool),
+        cfg.atom_type_map, ctmc_mol=False)
+    assert len(mols) == 2 and mols[0].num_atoms == 6
