@@ -168,17 +168,33 @@ def np_rigid_align(x0: np.ndarray, x1: np.ndarray) -> np.ndarray:
 
 
 def align_prior_np(prior: np.ndarray, dst: np.ndarray, permutation: bool = True,
-                   rigid_body: bool = False, n_alignments: int = 1) -> np.ndarray:
-    """Hungarian permutation alignment + optional Kabsch (priors.py:109-126)."""
+                   rigid_body: bool = False, n_alignments: int = 1,
+                   use_native: bool = True) -> np.ndarray:
+    """Hungarian permutation alignment + optional Kabsch (priors.py:109-126).
+
+    Uses the native C++ implementation (flowmol_tpu.ops.ot_native) when the
+    toolchain is available; scipy otherwise."""
+    native = None
+    if use_native:
+        try:
+            from flowmol_tpu.ops import ot_native
+            native = ot_native if ot_native.available() else None
+        except Exception:
+            native = None
     for _ in range(n_alignments):
         if permutation:
-            if linear_sum_assignment is None:
-                raise RuntimeError("scipy required for OT permutation alignment")
             cost = np.linalg.norm(dst[:, None, :] - prior[None, :, :], axis=-1)
-            _, prior_idx = linear_sum_assignment(cost)
+            if native is not None:
+                prior_idx = native.hungarian(cost)
+            else:
+                if linear_sum_assignment is None:
+                    raise RuntimeError(
+                        "scipy required for OT permutation alignment")
+                _, prior_idx = linear_sum_assignment(cost)
             prior = prior[prior_idx]
         if rigid_body:
-            prior = np_rigid_align(prior, dst)
+            prior = (native.kabsch(prior, dst).astype(prior.dtype)
+                     if native is not None else np_rigid_align(prior, dst))
     return prior
 
 
