@@ -76,6 +76,9 @@ def main():
     mols_per_sec = n_mols / dt
     n_chips = 1  # bench runs on one chip
     value = mols_per_sec / n_chips
+
+    train_sps = _bench_train_throughput()
+
     print(json.dumps({
         "metric": "geom_sampling_mols_per_sec_per_chip",
         "value": round(value, 4),
@@ -85,7 +88,54 @@ def main():
         "n_timesteps": n_timesteps,
         "buckets": {str(k): len(v) for k, v in sorted(groups.items())},
         "wall_s": round(dt, 3),
+        "qm9_train_samples_per_sec_per_chip": train_sps,
     }))
+
+
+def _bench_train_throughput(n_steps: int = 20):
+    """Secondary north-star: QM9-scale train samples/sec/chip (dev config
+    arch, synthetic qm9-sized molecules, edge-budget batch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flowmol_tpu.api import model_from_config, read_config_file
+    from flowmol_tpu.data.dataset import DataConfig, pad_batch, prepare_molecule
+    from flowmol_tpu.data.synthetic import generate_molecule
+    from flowmol_tpu.train_utils.optim import LRScheduleConfig
+    from flowmol_tpu.train_utils.step import create_train_state, make_train_step
+
+    config = read_config_file("configs/dev.yml")
+    model = model_from_config(config)
+    cfg = model.cfg
+    lr_cfg = LRScheduleConfig()
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), lr_cfg, 0.999)
+    step = jax.jit(make_train_step(model, tx, lr_cfg, 0.999))
+
+    rng = np.random.default_rng(0)
+    prior_cfg = (config["mol_fm"]["prior_config"])
+    dc = DataConfig(prior_config=prior_cfg, n_atom_types=cfg.n_atom_types,
+                    n_bond_types=cfg.n_bond_types,
+                    fake_atom_p=cfg.fake_atom_p, is_ctmc=cfg.is_ctmc)
+    mols = []
+    for _ in range(24):
+        x, a, c, bonds, bts = generate_molecule(
+            rng, int(rng.integers(12, 26)), len(cfg.atom_type_map))
+        adj = np.zeros((x.shape[0], x.shape[0]), np.int32)
+        adj[bonds[:, 0], bonds[:, 1]] = bts
+        mols.append(prepare_molecule(
+            rng, {"x": x, "a": a, "c": c, "adj": np.maximum(adj, adj.T)}, dc))
+    batch = jax.tree.map(jnp.asarray, pad_batch(mols, 32))
+
+    # warmup/compile
+    st, m = step(state, batch, jax.random.PRNGKey(1), jnp.asarray(0.0))
+    float(np.asarray(m["total_train_loss"]))
+    t0 = time.time()
+    for i in range(n_steps):
+        st, m = step(st, batch, jax.random.PRNGKey(2 + i), jnp.asarray(0.0))
+    float(np.asarray(m["total_train_loss"]))  # sync
+    dt = time.time() - t0
+    return round(n_steps * len(mols) / dt, 2)
 
 
 if __name__ == "__main__":

@@ -210,3 +210,45 @@ def molecules_from_sampled_state(state: Dict[str, np.ndarray],
             ctmc_mol=ctmc_mol, fake_atoms=fake_atoms,
             explicit_aromaticity=explicit_aromaticity))
     return mols
+
+
+def trajectory_xyz_frames(traj: Dict[str, np.ndarray], mol_idx: int,
+                          node_mask: np.ndarray,
+                          atom_type_map: Sequence[str],
+                          endpoint: bool = False,
+                          align_to_final: bool = True,
+                          fake_atoms: bool = False,
+                          ctmc_mol: bool = True) -> List[str]:
+    """Per-molecule trajectory as multi-frame XYZ strings.
+
+    traj: stacked scan frames from FlowMol.integrate(visualize=True) —
+    {'x','a','c','e_up','x_pred','a_pred',...} each (T, B, ...).
+    Frames are Kabsch-aligned to the final frame like the reference's
+    `process_traj_frames` (molecule_builder.py:156-214).  Mask tokens decode
+    as 'Se', fake atoms as 'Sn' (both shown in trajectories).
+    """
+    from flowmol_tpu.data.priors import np_rigid_align
+
+    amap = list(atom_type_map)
+    if fake_atoms:
+        amap.append("Sn")
+    if ctmc_mol:
+        amap.append("Se")
+    n = int(np.asarray(node_mask)[mol_idx].sum())
+    key_x = "x_pred" if endpoint else "x"
+    key_a = "a_pred" if endpoint else "a"
+    xs = np.asarray(traj[key_x])[:, mol_idx, :n]
+    ats = np.asarray(traj[key_a])[:, mol_idx, :n]
+    x_final = xs[-1]
+    frames = []
+    for t in range(xs.shape[0]):
+        pos = (np_rigid_align(xs[t].astype(np.float64), x_final)
+               if align_to_final else xs[t])
+        lines = [str(n), f"frame {t}"]
+        for i in range(n):
+            tok = int(ats[t, i]) if ats.ndim == 2 else int(ats[t])
+            sym = amap[tok] if tok < len(amap) else "Se"
+            lines.append(f"{sym} {pos[i, 0]:.4f} {pos[i, 1]:.4f} "
+                         f"{pos[i, 2]:.4f}")
+        frames.append("\n".join(lines))
+    return frames

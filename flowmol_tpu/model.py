@@ -335,17 +335,30 @@ class FlowMol:
 
         state["x"] = state["x"] * batch.node_mask[..., None]
 
+        # self-conditioning: one coin per batch (flowmol.py semantics via
+        # vector_field.py:271, P(apply) = 1 - scprop); lax.cond skips the
+        # bootstrap forward entirely on tails instead of always paying 2x
+        prev_dst = None
         sc_mask = None
         if cfg.vf.self_conditioning:
-            if train:
-                sc_mask = jax.random.bernoulli(k_sc, 1.0 - cfg.scprop, (B,))
-            else:
-                sc_mask = jnp.zeros((B,), bool)
+            coin = jax.random.bernoulli(k_sc, 1.0 - cfg.scprop) if train else \
+                jnp.asarray(False)
+
+            def boot(_):
+                return jax.lax.stop_gradient(self.net.apply(
+                    params, state["x"], state["a"], state["c"], state["e"],
+                    t, batch.node_mask, method=MolGVPNet.bootstrap))
+
+            zeros = jax.tree.map(
+                lambda s_: jnp.zeros(s_.shape, s_.dtype),
+                jax.eval_shape(boot, None))
+            prev_dst = jax.lax.cond(coin, boot, lambda _: zeros, None)
+            sc_mask = jnp.broadcast_to(coin, (B,))
 
         rngs = {"dropout": k_drop} if (train and cfg.vf.dropout > 0) else {}
         dst = self.net.apply(
             params, state["x"], state["a"], state["c"], state["e"], t,
-            batch.node_mask, prev_dst=None, sc_apply_mask=sc_mask,
+            batch.node_mask, prev_dst=prev_dst, sc_apply_mask=sc_mask,
             apply_softmax=False, remove_com=False,
             deterministic=not train, rngs=rngs)
 
@@ -545,10 +558,8 @@ class FlowMol:
         prev0 = None
         if cfg.vf.self_conditioning:
             x, a, c, e = onehot_state(prior_state)
-            prev0 = self.net.apply(
-                params, x, a, c, e, jnp.zeros((B,)), node_mask,
-                prev_dst=None, sc_apply_mask=jnp.zeros((B,), bool),
-                apply_softmax=True, remove_com=False, deterministic=True)
+            prev0 = self.net.apply(params, x, a, c, e, jnp.zeros((B,)),
+                                   node_mask, method=MolGVPNet.bootstrap)
 
         def step(carry, xs):
             st, prev_dst, key = carry
@@ -584,7 +595,19 @@ class FlowMol:
                 new_st[tok_key] = res.xt
 
             new_prev = dst if cfg.vf.self_conditioning else prev_dst
-            ys = (new_st, dst) if visualize else None
+            if visualize:
+                # compact per-step frames: current tokens + predicted endpoint
+                # (parity with the reference's x_t / x_1_pred trajectory
+                # recording, ctmc_vector_field.py:235-255, but stacked by the
+                # scan instead of per-step .cpu() copies)
+                ys = dict(new_st)
+                ys["x_pred"] = dst["x"]
+                ys["a_pred"] = jnp.argmax(dst["a"], -1)
+                ys["c_pred"] = jnp.argmax(dst["c"], -1)
+                ys["e_up_pred"] = jnp.argmax(
+                    ctmc.edges_to_upper(dst["e"], n), -1)
+            else:
+                ys = None
             return (new_st, new_prev, key), ys
 
         xs = (t_grid[:-1], alpha[:-1], alpha[1:], alpha_prime[:-1],
@@ -619,9 +642,8 @@ class FlowMol:
         if cfg.vf.self_conditioning and not is_vf:
             prev0 = self.net.apply(
                 params, prior_state["x"], prior_state["a"], prior_state["c"],
-                prior_state["e"], jnp.zeros((B,)), node_mask, prev_dst=None,
-                sc_apply_mask=jnp.zeros((B,), bool), apply_softmax=True,
-                remove_com=False, deterministic=True)
+                prior_state["e"], jnp.zeros((B,)), node_mask,
+                method=MolGVPNet.bootstrap)
 
         def step(carry, xs):
             st, prev_dst, key = carry
@@ -687,9 +709,8 @@ class FlowMol:
         if cfg.vf.self_conditioning:
             prev0 = self.net.apply(
                 params, prior_state["x"], prior_state["a"], prior_state["c"],
-                prior_state["e"], jnp.zeros((B,)), node_mask, prev_dst=None,
-                sc_apply_mask=jnp.zeros((B,), bool), apply_softmax=True,
-                remove_com=False, deterministic=True)
+                prior_state["e"], jnp.zeros((B,)), node_mask,
+                method=MolGVPNet.bootstrap)
 
         def step(carry, xs):
             st, prev_dst, key = carry

@@ -297,15 +297,16 @@ class GVPConv(nn.Module):
     message_norm: Union[float, str] = 10
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, s, v, ef, x_diff, d, pair_mask, node_mask,
+    def __call__(self, s, v, ef, x, x_diff, d, pair_mask, node_mask,
                  deterministic: bool = True):
         """
         s: (B,N,Ds) node scalars; v: (B,N,Dv,3) node vectors;
-        ef: (B,N,N,De) edge features; x_diff: (B,N,N,3) unit j->i displacement
-        (source minus dest); d: (B,N,N,rbf_dim); pair_mask: (B,N,N) bool;
-        node_mask: (B,N) bool.
+        ef: (B,N,N,De) edge features; x: (B,N,3) positions;
+        x_diff: (B,N,N,3) unit j->i displacement (source minus dest);
+        d: (B,N,N,rbf_dim); pair_mask: (B,N,N) bool; node_mask: (B,N) bool.
         """
         B, N = s.shape[:2]
         s_msg = self.s_message_dim or self.scalar_size
@@ -353,6 +354,36 @@ class GVPConv(nn.Module):
         dims = _message_stack_dims(
             self.scalar_size, self.vector_size, s_msg, v_msg, self.n_message_gvps,
             extra_scalar, self.rbf_dim, self.edge_feat_size, s_dst_dim, v_dst_dim)
+
+        if not self.attention and not compressed:
+            # explicit-weight path: shared weights between the XLA compute
+            # path and the fused Pallas kernel (flowmol_tpu/ops)
+            from flowmol_tpu.ops.pair_messages import (MessageStackSpec,
+                                                       init_weights,
+                                                       xla_message_agg)
+            spec = MessageStackSpec(
+                s_msg=s_msg, v_msg=v_msg, s_dst=s_dst_dim, v_dst=v_dst_dim,
+                rbf_dim=self.rbf_dim, rbf_dmax=self.rbf_dmax,
+                edge_feat_dim=self.edge_feat_size,
+                n_cp_feats=self.n_cp_feats, dims=tuple(dims),
+                message_norm=self.message_norm)
+            wmsg = init_weights(self, spec, torch_uniform)
+            # N >= 64: at smaller sizes the tile grid is too shallow and the
+            # kernel loses to XLA (measured on v5e)
+            use_pallas = (self.use_pallas and deterministic
+                          and spec.message_norm != "mean"
+                          and s.shape[1] % 32 == 0 and s.shape[1] >= 64)
+            if use_pallas:
+                from flowmol_tpu.ops.pallas_messages import pallas_message_agg
+                agg_s, agg_v = pallas_message_agg(
+                    wmsg, spec, sc, s_dst, vc, v_dst, x, ef, node_mask,
+                    dtype=dt)
+            else:
+                agg_s, agg_v = xla_message_agg(
+                    wmsg, spec, sc, s_dst, vc, v_dst, x, ef, pair_mask,
+                    dtype=dt)
+            return self._finish(s, v, agg_s, agg_v, node_mask, deterministic)
+
         d_ef = jnp.concatenate([d, ef], axis=-1) if self.edge_feat_size > 0 else d
         _, v0_out, _, s0_out = dims[0]
         msg_s, msg_v = PairGVP(
@@ -405,7 +436,11 @@ class GVPConv(nn.Module):
             agg_s, agg_v = GVPChain(dims, self.n_cp_feats, dtype=self.dtype,
                                     name="message_expansion")((agg_s, agg_v))
 
-        # --- residual / norm / node update (f32) -------------------------------
+        return self._finish(s, v, agg_s, agg_v, node_mask, deterministic)
+
+    def _finish(self, s, v, agg_s, agg_v, node_mask, deterministic):
+        """Shared tail: dropout -> residual -> layernorm -> node update.
+        Called from within the compact __call__ context."""
         drop = GVPDropout(self.dropout)
         agg_s, agg_v = drop((agg_s, agg_v), deterministic)
         s1 = s.astype(jnp.float32) + agg_s.astype(jnp.float32)

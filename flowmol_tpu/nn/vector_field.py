@@ -67,6 +67,8 @@ class VectorFieldConfig:
     use_dst_feats: bool = False
     dst_feat_msg_reduction_factor: float = 4
     remat: bool = True
+    # use the fused Pallas message kernel on deterministic (inference) passes
+    use_pallas: bool = False
     # matmul compute dtype for the message-passing hot loop; residuals,
     # layernorms and all geometry stay float32
     compute_dtype: str = "bfloat16"
@@ -165,7 +167,7 @@ class MolGVPNet(nn.Module):
         self.scalar_embedding = _MLPLayerNorm(c.n_hidden_scalars)
         self.edge_embedding = _MLPLayerNorm(c.n_hidden_edge_feats)
 
-        conv_cls = nn.remat(GVPConv, static_argnums=(7,)) if c.remat else GVPConv
+        conv_cls = nn.remat(GVPConv, static_argnums=(9,)) if c.remat else GVPConv  # arg 0 is the module scope
         self.conv_layers = [
             conv_cls(
                 scalar_size=c.n_hidden_scalars,
@@ -186,6 +188,7 @@ class MolGVPNet(nn.Module):
                 use_dst_feats=c.use_dst_feats,
                 dst_feat_msg_reduction_factor=c.dst_feat_msg_reduction_factor,
                 dtype=c.dtype,
+                use_pallas=c.use_pallas,
             )
             for _ in range(c.convs_per_update * c.n_molecule_updates)
         ]
@@ -250,7 +253,7 @@ class MolGVPNet(nn.Module):
 
         for _ in range(c.n_recycles):
             for conv_idx, conv in enumerate(self.conv_layers):
-                s, v = conv(s, v, ef, x_diff, d, pair_mask, node_mask,
+                s, v = conv(s, v, ef, x, x_diff, d, pair_mask, node_mask,
                             deterministic)
                 # reference trigger (vector_field.py:321): never after the
                 # very first conv, then every convs_per_update convolutions
@@ -276,6 +279,15 @@ class MolGVPNet(nn.Module):
             for f in ("a", "c", "e"):
                 dst[f] = jax.nn.softmax(dst[f], axis=-1)
         return dst
+
+    # -------------------------------------------------------------- bootstrap
+    def bootstrap(self, x_t, a_t, c_t, e_t, t, node_mask):
+        """Plain endpoint prediction without self-conditioning — used to
+        produce the previous-endpoint estimate for the self-conditioning
+        residual (the no-grad pass of vector_field.py:269-283)."""
+        s, v, ef = self._embed(a_t, c_t, e_t, t, node_mask)
+        return self._denoise(s, v, x_t, ef, node_mask, apply_softmax=True,
+                             remove_com=False, deterministic=True)
 
     # ----------------------------------------------------------------- __call__
     def __call__(self, x_t, a_t, c_t, e_t, t, node_mask,

@@ -1,0 +1,183 @@
+"""The pairwise message stack as pure functions over explicit weights.
+
+Two interchangeable compute paths for GVPConv's message+aggregate phase
+(the innermost hot loop, SURVEY.md §3.1):
+
+  * `xla_message_agg` — the reference semantics in plain XLA ops (identical
+    math to the PairGVP + GVPChain module path);
+  * `pallas_message_agg` — a fused Pallas TPU kernel that tiles over
+    (dst-block, src-block) pairs, keeps every per-pair intermediate in VMEM,
+    and accumulates the masked aggregation on-chip, so no (B, N, N, ·)
+    tensor is ever written to HBM.
+
+Both consume the same weight pytree (built by GVPConv via `init_weights`)
+so they are freely switchable at trace time.  Covers the flowmol3-class
+configuration: no attention, no compressed messaging; optional
+destination-node features and cross-product features are supported.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowmol_tpu.nn.embedding import norm_no_nan, rbf
+
+
+@dataclasses.dataclass(frozen=True)
+class MessageStackSpec:
+    """Static shape spec of the message GVP stack."""
+
+    s_msg: int              # node scalar dim entering messages
+    v_msg: int              # node vector dim entering messages
+    s_dst: int              # dst-feat scalar dim (0 = off)
+    v_dst: int              # dst-feat vector dim (0 = off)
+    rbf_dim: int
+    rbf_dmax: float
+    edge_feat_dim: int
+    n_cp_feats: int
+    # per-layer (v_in, v_out, s_in, s_out); layer 0's v_in/s_in refer to the
+    # concatenated pair inputs
+    dims: Tuple[Tuple[int, int, int, int], ...]
+    message_norm: object = "sum"   # 'sum' | 'mean' | float
+
+    @property
+    def h0(self) -> int:
+        v_in0 = 1 + self.v_msg + self.v_dst
+        return max(v_in0, self.dims[0][1])
+
+
+def init_weights(module, spec: MessageStackSpec, torch_uniform) -> Dict:
+    """Create the explicit parameter tree on a flax module (call from within
+    @nn.compact)."""
+    w: Dict[str, jnp.ndarray] = {}
+    v_in0 = 1 + spec.v_msg + spec.v_dst
+    h0 = spec.h0
+    ncp = spec.n_cp_feats
+    _, v0_out, _, s0_out = spec.dims[0]
+
+    w["wh0"] = module.param("msg0_Wh", torch_uniform, (v_in0, h0))
+    if ncp:
+        w["wcp0"] = module.param("msg0_Wcp", torch_uniform, (v_in0, 2 * ncp))
+    w["wu0"] = module.param("msg0_Wu", torch_uniform, (h0 + ncp, v0_out))
+    w["k_src"] = module.param("msg0_K_src", torch_uniform,
+                              (spec.s_msg, s0_out))
+    w["k_edge"] = module.param("msg0_K_edge", torch_uniform,
+                               (spec.rbf_dim + spec.edge_feat_dim, s0_out))
+    if spec.s_dst:
+        w["k_dst"] = module.param("msg0_K_dst", torch_uniform,
+                                  (spec.s_dst, s0_out))
+    w["k_sh"] = module.param("msg0_K_sh", torch_uniform, (h0 + ncp, s0_out))
+    w["b0"] = module.param("msg0_bias", jax.nn.initializers.zeros, (s0_out,))
+    w["g0"] = module.param("msg0_gate", torch_uniform, (s0_out, v0_out))
+    w["gb0"] = module.param("msg0_gate_bias", jax.nn.initializers.zeros,
+                            (v0_out,))
+
+    for li, (v_in, v_out, s_in, s_out) in enumerate(spec.dims[1:], start=1):
+        h = max(v_in, v_out)
+        w[f"wh{li}"] = module.param(f"msg{li}_Wh", torch_uniform, (v_in, h))
+        if ncp:
+            w[f"wcp{li}"] = module.param(f"msg{li}_Wcp", torch_uniform,
+                                         (v_in, 2 * ncp))
+        w[f"wu{li}"] = module.param(f"msg{li}_Wu", torch_uniform,
+                                    (h + ncp, v_out))
+        w[f"k{li}"] = module.param(f"msg{li}_K", torch_uniform,
+                                   (s_in + h + ncp, s_out))
+        w[f"b{li}"] = module.param(f"msg{li}_bias", jax.nn.initializers.zeros,
+                                   (s_out,))
+        w[f"g{li}"] = module.param(f"msg{li}_gate", torch_uniform,
+                                   (s_out, v_out))
+        w[f"gb{li}"] = module.param(f"msg{li}_gate_bias",
+                                    jax.nn.initializers.zeros, (v_out,))
+    return w
+
+
+# --------------------------------------------------------------------------- #
+# shared math pieces
+# --------------------------------------------------------------------------- #
+
+def _gvp_layer(w, li, ncp, s, v, dt):
+    """One standard GVP over per-pair state (s: (..., s_in), v: (..., v_in, 3))."""
+    vh = jnp.einsum("...vc,vh->...hc", v, w[f"wh{li}"].astype(dt))
+    if ncp:
+        vcp = jnp.einsum("...vc,vp->...pc", v, w[f"wcp{li}"].astype(dt))
+        a, b = jnp.split(vcp, 2, axis=-2)
+        vh = jnp.concatenate([vh, jnp.cross(a, b)], axis=-2)
+    vu = jnp.einsum("...hc,hu->...uc", vh, w[f"wu{li}"].astype(dt))
+    sh = norm_no_nan(vh.astype(jnp.float32), axis=-1).astype(dt)
+    y = jnp.concatenate([s, sh], -1) @ w[f"k{li}"].astype(dt) + \
+        w[f"b{li}"].astype(dt)
+    s_out = jax.nn.silu(y)
+    gate = s_out @ w[f"g{li}"].astype(dt) + w[f"gb{li}"].astype(dt)
+    v_out = jax.nn.sigmoid(gate).astype(dt)[..., None] * vu
+    return s_out, v_out
+
+
+def _layer0(w, spec, dt, sc, s_dst, vc, v_dst, x_diff, d_ef):
+    """Factored layer 0 (PairGVP math): node matmuls per node, broadcast-add."""
+    ncp = spec.n_cp_feats
+    wh = w["wh0"].astype(dt)
+    wh_x, wh_src = wh[0], wh[1:1 + spec.v_msg]
+    vh = jnp.einsum("bijc,h->bijhc", x_diff, wh_x)
+    vh = vh + jnp.einsum("bnvc,vh->bnhc", vc, wh_src)[:, None]
+    if spec.v_dst:
+        vh = vh + jnp.einsum("bnvc,vh->bnhc", v_dst,
+                             wh[1 + spec.v_msg:])[:, :, None]
+    if ncp:
+        wcp = w["wcp0"].astype(dt)
+        vcp = jnp.einsum("bijc,p->bijpc", x_diff, wcp[0])
+        vcp = vcp + jnp.einsum("bnvc,vp->bnpc", vc,
+                               wcp[1:1 + spec.v_msg])[:, None]
+        if spec.v_dst:
+            vcp = vcp + jnp.einsum("bnvc,vp->bnpc", v_dst,
+                                   wcp[1 + spec.v_msg:])[:, :, None]
+        a, b = jnp.split(vcp, 2, axis=-2)
+        vh = jnp.concatenate([vh, jnp.cross(a, b)], axis=-2)
+
+    vu = jnp.einsum("bijhc,hu->bijuc", vh, w["wu0"].astype(dt))
+    sh = norm_no_nan(vh.astype(jnp.float32), axis=-1).astype(dt)
+
+    y = jnp.einsum("bijd,do->bijo", d_ef, w["k_edge"].astype(dt))
+    y = y + jnp.einsum("bijh,ho->bijo", sh, w["k_sh"].astype(dt))
+    y = y + jnp.einsum("bnd,do->bno", sc, w["k_src"].astype(dt))[:, None]
+    if spec.s_dst:
+        y = y + jnp.einsum("bnd,do->bno", s_dst,
+                           w["k_dst"].astype(dt))[:, :, None]
+    s0 = jax.nn.silu(y + w["b0"].astype(dt))
+    gate = s0 @ w["g0"].astype(dt) + w["gb0"].astype(dt)
+    v0 = jax.nn.sigmoid(gate).astype(dt)[..., None] * vu
+    return s0, v0
+
+
+def xla_message_agg(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
+                    x, ef, pair_mask, dtype=None):
+    """Reference-semantics message stack + masked aggregation in plain XLA."""
+    dt = dtype or sc.dtype
+    diff = x[:, None, :, :] - x[:, :, None, :]
+    dij = norm_no_nan(diff, axis=-1, keepdims=True) + 1e-8
+    x_diff = (diff / dij).astype(dt)
+    d = rbf(dij[..., 0], d_max=spec.rbf_dmax, d_count=spec.rbf_dim)
+    d_ef = (jnp.concatenate([d, ef], -1) if spec.edge_feat_dim else d).astype(dt)
+
+    s, v = _layer0(w, spec, dt, sc.astype(dt),
+                   None if not spec.s_dst else s_dst.astype(dt),
+                   vc.astype(dt),
+                   None if not spec.v_dst else v_dst.astype(dt),
+                   x_diff, d_ef)
+    for li in range(1, len(spec.dims)):
+        s, v = _gvp_layer(w, li, spec.n_cp_feats, s, v, dt)
+
+    pmf = pair_mask[..., None].astype(s.dtype)
+    agg_s = jnp.sum(s * pmf, axis=2, dtype=jnp.float32)
+    agg_v = jnp.sum(v * pmf[..., None], axis=2, dtype=jnp.float32)
+    if spec.message_norm == "mean":
+        cnt = jnp.maximum(jnp.sum(pmf, axis=2, dtype=jnp.float32), 1.0)
+        agg_s, agg_v = agg_s / cnt, agg_v / cnt[..., None]
+    elif spec.message_norm != "sum":
+        z = float(spec.message_norm)
+        agg_s, agg_v = agg_s / z, agg_v / z
+    return agg_s, agg_v

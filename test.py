@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--dfm_type", type=str, default=None)
     p.add_argument("--baseline_comparison", action="store_true",
                    help="pickle (mols, sampling_time) for baseline comparison")
+    p.add_argument("--xt_traj", action="store_true",
+                   help="write per-molecule x_t trajectory XYZ files")
+    p.add_argument("--ep_traj", action="store_true",
+                   help="write per-molecule predicted-endpoint trajectory XYZ")
+    p.add_argument("--traj_dir", type=Path, default=Path("trajectories"))
     p.add_argument("--seed", type=int, default=123)
     return p.parse_args()
 
@@ -75,6 +80,8 @@ def main():
     model, params = pm.model, pm.params
     rng = np.random.default_rng(args.seed)
 
+    visualize = args.xt_traj or args.ep_traj
+
     # sample in chunks of max_batch_size (test.py:99-133), bucketing the pad
     # size per chunk so XLA compiles once per (B, N_pad)
     all_mols = []
@@ -82,6 +89,7 @@ def main():
     t0 = time.time()
     remaining = args.n_mols
     chunk_idx = 0
+    mol_counter = 0
     while remaining > 0:
         b = min(args.max_batch_size, remaining)
         sizes = pm.n_atoms_dist.sample(rng, b)
@@ -93,15 +101,37 @@ def main():
                 n_timesteps=args.n_timesteps,
                 stochasticity=args.stochasticity,
                 high_confidence_threshold=args.hc_thresh,
-                dfm_type=args.dfm_type))
-        final = sample_fns[key](params, jax.random.PRNGKey(args.seed + chunk_idx),
-                                jnp.asarray(node_mask))
+                dfm_type=args.dfm_type, visualize=visualize))
+        out = sample_fns[key](params, jax.random.PRNGKey(args.seed + chunk_idx),
+                              jnp.asarray(node_mask))
+        if visualize:
+            final, traj = out
+            traj = jax.tree.map(np.asarray, traj)
+        else:
+            final = out
         final = jax.tree.map(np.asarray, final)
         all_mols.extend(molecules_from_sampled_state(
             final, node_mask, model.cfg.atom_type_map,
             ctmc_mol=model.cfg.is_ctmc,
             fake_atoms=model.cfg.fake_atom_p > 0,
             explicit_aromaticity=model.cfg.explicit_aromaticity))
+
+        if visualize:
+            from flowmol_tpu.analysis.molecule_builder import \
+                trajectory_xyz_frames
+            args.traj_dir.mkdir(parents=True, exist_ok=True)
+            for m in range(b):
+                for ep, flag in ((False, args.xt_traj), (True, args.ep_traj)):
+                    if not flag:
+                        continue
+                    frames = trajectory_xyz_frames(
+                        traj, m, node_mask, model.cfg.atom_type_map,
+                        endpoint=ep, fake_atoms=model.cfg.fake_atom_p > 0,
+                        ctmc_mol=model.cfg.is_ctmc)
+                    tag = "ep" if ep else "xt"
+                    fn = args.traj_dir / f"mol_{mol_counter + m}_{tag}.xyz"
+                    fn.write_text("\n".join(frames) + "\n")
+        mol_counter += b
         remaining -= b
         chunk_idx += 1
     sampling_time = time.time() - t0

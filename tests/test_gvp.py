@@ -95,10 +95,10 @@ def test_gvpconv_equivariance(attention, message_norm):
 
     def run(xx, vv):
         x_diff, d = pairwise_distances(xx, 10, 8)
-        return conv.apply(params, s, vv, ef, x_diff, d, pair_mask, node_mask)
+        return conv.apply(params, s, vv, ef, xx, x_diff, d, pair_mask, node_mask)
 
     x_diff, d = pairwise_distances(x, 10, 8)
-    params = conv.init(jax.random.PRNGKey(6), s, v, ef, x_diff, d, pair_mask,
+    params = conv.init(jax.random.PRNGKey(6), s, v, ef, x, x_diff, d, pair_mask,
                        node_mask)
     rot = random_rotation(jax.random.PRNGKey(7))
 
@@ -122,11 +122,11 @@ def test_gvpconv_padding_independence():
     def run(s_, v_, x_, ef_, nm):
         pm = node_mask_to_pair_mask(nm)
         x_diff, d = pairwise_distances(x_, 10, 8)
-        return conv.apply(params, s_, v_, ef_, x_diff, d, pm, nm)
+        return conv.apply(params, s_, v_, ef_, x_, x_diff, d, pm, nm)
 
     pm = node_mask_to_pair_mask(node_mask)
     x_diff, d = pairwise_distances(x, 10, 8)
-    params = conv.init(jax.random.PRNGKey(9), s, v, ef, x_diff, d, pm, node_mask)
+    params = conv.init(jax.random.PRNGKey(9), s, v, ef, x, x_diff, d, pm, node_mask)
 
     s1, v1 = run(s, v, x, ef, node_mask)
 

@@ -132,7 +132,7 @@ def main():
         use_mesh=int(trainer_args.get("devices", 1)) > 1,
         seed=args.seed,
         logger=logger,
-        max_steps=100 if args.debug else args.max_steps,
+        max_steps=args.max_steps or (100 if args.debug else None),
     )
 
     if resume:
