@@ -129,18 +129,24 @@ class SelfConditioningResidual(nn.Module):
         s_out = s + h
 
         # edge branch: change in RBF-embedded edge length to the endpoint
+        # (per-pair MLPs run in the compute dtype — this is per-step hot work
+        # on the sampling path)
         def edge_d(pos):
             diff = pos[:, None, :, :] - pos[:, :, None, :]
             dij = norm_no_nan(diff, axis=-1) + 1e-8
             return rbf(dij, d_max=c.rbf_dmax, d_count=c.rbf_dim)
 
+        dt = c.dtype
         d_t = edge_d(x)
         d_1 = edge_d(prev["x"])
         ef_sym = symmetrize_edge_feats(ef)  # canonical upper-triangle values
-        edge_in = jnp.concatenate([ef_sym, prev["e"], d_1 - d_t], axis=-1)
-        he = jax.nn.silu(_dense(c.n_hidden_edge_feats)(edge_in))
-        he = jax.nn.silu(_dense(c.n_hidden_edge_feats)(he))
-        ef_out = ef_sym + he  # symmetric: both triangles share the upper value
+        edge_in = jnp.concatenate([ef_sym.astype(dt), prev["e"].astype(dt),
+                                   (d_1 - d_t).astype(dt)], axis=-1)
+        he = jax.nn.silu(nn.Dense(c.n_hidden_edge_feats, dtype=dt,
+                                  kernel_init=torch_uniform)(edge_in))
+        he = jax.nn.silu(nn.Dense(c.n_hidden_edge_feats, dtype=dt,
+                                  kernel_init=torch_uniform)(he))
+        ef_out = ef_sym + he.astype(jnp.float32)  # symmetric residual
         return s_out, ef_out
 
 
@@ -208,7 +214,8 @@ class MolGVPNet(nn.Module):
 
         self.node_output_head = _MLPHead(c.n_hidden_scalars,
                                          c.n_atom_types + c.n_charges)
-        self.to_edge_logits = _MLPHead(c.n_hidden_edge_feats, c.n_bond_types)
+        self.to_edge_logits = _MLPHead(c.n_hidden_edge_feats, c.n_bond_types,
+                                       dtype=c.dtype)
 
         if c.self_conditioning:
             self.sc_residual = SelfConditioningResidual(c)
@@ -346,8 +353,11 @@ class _MLPHead(nn.Module):
 
     width: int
     out: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, h):
-        h = jax.nn.silu(_dense(self.width)(h))
-        return _dense(self.out)(h)
+        h = jax.nn.silu(nn.Dense(self.width, dtype=self.dtype,
+                                 kernel_init=torch_uniform)(h))
+        return nn.Dense(self.out, dtype=self.dtype,
+                        kernel_init=torch_uniform)(h).astype(jnp.float32)

@@ -126,8 +126,12 @@ class Trainer:
         batcher_count = 0
         limit = self.limit_val_batches
         np_rng = np.random.default_rng(self.seed + 999)
+        # validate with EMA weights when enabled (the reference's EMA
+        # callback swaps them in for validation, utils/ema.py)
+        val_params = (self.state.ema if self.state.ema is not None
+                      else self.state.params)
         for tb in self.data.iter_split("val", np_rng):
-            m = self.eval_step(self.state.params, self._shard(tb), rng)
+            m = self.eval_step(val_params, self._shard(tb), rng)
             for k, v in m.items():
                 agg.setdefault(k, []).append(float(v))
             batcher_count += 1

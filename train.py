@@ -29,6 +29,9 @@ def parse_args():
                    help="cap training at 100 steps, no wandb")
     p.add_argument("--run_name", type=str, default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--seed-model", dest="seed_model", type=Path, default=None,
+                   help="initialize parameters from another run's checkpoint "
+                        "(parity: train.py --seed-model, load.py:27-37)")
     # hyperparameter sweep overrides (subset of sweep_config.py:4-51)
     p.add_argument("--batch_size", type=int)
     p.add_argument("--lr", type=float)
@@ -44,6 +47,25 @@ def parse_args():
     p.add_argument("--n_hidden_scalars", type=int)
     p.add_argument("--n_vec_channels", type=int)
     p.add_argument("--n_molecule_updates", type=int)
+    p.add_argument("--n_hidden_edge_feats", type=int)
+    p.add_argument("--convs_per_update", type=int)
+    p.add_argument("--n_cp_feats", type=int)
+    p.add_argument("--time_scaled_loss", type=int)
+    p.add_argument("--target_blur", type=float)
+    p.add_argument("--weight_ae", type=int)
+    p.add_argument("--stochasticity", type=float)
+    p.add_argument("--high_confidence_threshold", type=float)
+    p.add_argument("--x_nu", type=float, help="cosine schedule nu for x")
+    p.add_argument("--a_nu", type=float)
+    p.add_argument("--c_nu", type=float)
+    p.add_argument("--e_nu", type=float)
+    p.add_argument("--ema_decay", type=float)
+    p.add_argument("--weight_decay", type=float)
+    p.add_argument("--restart_interval", type=float)
+    p.add_argument("--restart_type", type=str)
+    p.add_argument("--prior_x_std", type=float)
+    p.add_argument("--self_conditioning", type=int)
+    p.add_argument("--scprop_override", type=float)
     return p.parse_args()
 
 
@@ -68,12 +90,44 @@ def merge_config_and_args(config: dict, args) -> dict:
         v = getattr(args, k)
         if v is not None:
             mol_fm[k] = v
+    if args.ema_decay is not None:
+        config.setdefault("training", {})["ema_decay"] = args.ema_decay
+    for k in ("weight_decay", "restart_interval", "restart_type"):
+        v = getattr(args, k)
+        if v is not None:
+            config.setdefault("lr_scheduler", {})[k] = v
+    for k in ("time_scaled_loss", "target_blur", "weight_ae"):
+        v = getattr(args, k)
+        if v is not None:
+            mol_fm[k] = bool(v) if k != "target_blur" else v
+    if args.prior_x_std is not None:
+        mol_fm.setdefault("prior_config", {}).setdefault(
+            "x", {"align": True, "type": "centered-normal", "kwargs": {}}
+        ).setdefault("kwargs", {})["std"] = args.prior_x_std
     vf = config.setdefault("vector_field", {})
     for k in ("scprop", "n_hidden_scalars", "n_vec_channels",
-              "n_molecule_updates"):
+              "n_molecule_updates", "n_hidden_edge_feats", "convs_per_update",
+              "n_cp_feats", "stochasticity", "high_confidence_threshold"):
         v = getattr(args, k)
         if v is not None:
             vf[k] = v
+    if args.self_conditioning is not None:
+        vf["self_conditioning"] = bool(args.self_conditioning)
+    if args.scprop_override is not None:
+        vf["scprop"] = args.scprop_override
+    # per-feature cosine schedule overrides
+    nus = {f: getattr(args, f"{f}_nu") for f in "xace"}
+    if any(v is not None for v in nus.values()):
+        isc = config.setdefault("interpolant_scheduler", {})
+        st = isc.get("schedule_type")
+        if not isinstance(st, dict):
+            st = {f: (st or "linear") for f in "xace"}
+        cp = isc.setdefault("cosine_params", {})
+        for f, v in nus.items():
+            if v is not None:
+                st[f] = "cosine"
+                cp[f] = v
+        isc["schedule_type"] = st
     return config
 
 
@@ -137,6 +191,15 @@ def main():
 
     if resume:
         trainer.try_resume()
+    elif args.seed_model is not None:
+        # initialize parameters from a foreign checkpoint (--seed-model)
+        from flowmol_tpu.api import load_run
+        seeded = load_run(args.seed_model)
+        import dataclasses as _dc
+        trainer.state.params = seeded.params
+        if trainer.state.ema is not None:
+            trainer.state.ema = seeded.params
+        print(f"seeded parameters from {args.seed_model}")
 
     print(f"training -> {run_dir}")
     trainer.fit()
