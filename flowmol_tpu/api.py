@@ -94,6 +94,52 @@ def lr_config_from_config(config: Dict) -> LRScheduleConfig:
     return LRScheduleConfig.from_config(config.get("lr_scheduler", {}))
 
 
+SAMPLING_BUCKETS = (32, 48, 64, 96, 128, 192)
+
+
+def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
+                    n_timesteps: Optional[int] = None,
+                    max_batch_size: int = 128,
+                    buckets=SAMPLING_BUCKETS, visualize: bool = False,
+                    sample_fn_cache: Optional[dict] = None, **knobs):
+    """Sample molecules of the given sizes, bucketed by padded size.
+
+    Pads each molecule to its size bucket instead of the global max — the
+    O(N^2) pairwise compute makes padding waste quadratic.  Returns a list of
+    (final_state_np, node_mask_np, traj_or_None) per dispatched batch, in
+    bucket order with molecule order preserved within a bucket.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fns = sample_fn_cache if sample_fn_cache is not None else {}
+    groups: Dict[int, list] = {}
+    for s in np.asarray(sizes):
+        b = next(x for x in buckets if s <= x)
+        groups.setdefault(b, []).append(int(s))
+
+    results = []
+    chunk = 0
+    for n_pad, szs in sorted(groups.items()):
+        for i in range(0, len(szs), max_batch_size):
+            part = np.asarray(szs[i:i + max_batch_size])
+            node_mask = np.arange(n_pad)[None, :] < part[:, None]
+            key = (len(part), n_pad)
+            if key not in fns:
+                fns[key] = jax.jit(model.make_sample_fn(
+                    n_timesteps=n_timesteps, visualize=visualize, **knobs))
+            out = fns[key](params, jax.random.PRNGKey(seed + chunk),
+                           jnp.asarray(node_mask))
+            if visualize:
+                final, traj = out
+                traj = jax.tree.map(np.asarray, traj)
+            else:
+                final, traj = out, None
+            results.append((jax.tree.map(np.asarray, final), node_mask, traj))
+            chunk += 1
+    return results
+
+
 class PretrainedModel:
     """A loaded run: model definition + trained parameters + sampling API."""
 
@@ -107,26 +153,21 @@ class PretrainedModel:
     def sample_random_sizes(self, n_molecules: int, n_timesteps=None,
                             seed: int = 0, **kwargs):
         """Parity: FlowMol.sample_random_sizes (flowmol.py:473-486)."""
-        import jax
-        import jax.numpy as jnp
-
         from flowmol_tpu.analysis.molecule_builder import \
             molecules_from_sampled_state
 
         rng = np.random.default_rng(seed)
         sizes = self.n_atoms_dist.sample(rng, n_molecules)
-        n_pad = int(np.ceil(sizes.max() / 8) * 8)
-        node_mask = np.arange(n_pad)[None, :] < sizes[:, None]
-        fn = jax.jit(self.model.make_sample_fn(n_timesteps=n_timesteps,
-                                               **kwargs))
-        final = fn(self.params, jax.random.PRNGKey(seed),
-                   jnp.asarray(node_mask))
-        final = jax.tree.map(np.asarray, final)
-        return molecules_from_sampled_state(
-            final, node_mask, self.model.cfg.atom_type_map,
-            ctmc_mol=self.model.cfg.is_ctmc,
-            fake_atoms=self.model.cfg.fake_atom_p > 0,
-            explicit_aromaticity=self.model.cfg.explicit_aromaticity)
+        cfg = self.model.cfg
+        mols = []
+        for final, node_mask, _ in bucketed_sample(
+                self.model, self.params, sizes, seed=seed,
+                n_timesteps=n_timesteps, **kwargs):
+            mols.extend(molecules_from_sampled_state(
+                final, node_mask, cfg.atom_type_map, ctmc_mol=cfg.is_ctmc,
+                fake_atoms=cfg.fake_atom_p > 0,
+                explicit_aromaticity=cfg.explicit_aromaticity))
+        return mols
 
 
 def load_run(run_dir) -> PretrainedModel:

@@ -82,45 +82,30 @@ def main():
 
     visualize = args.xt_traj or args.ep_traj
 
-    # sample in chunks of max_batch_size (test.py:99-133), bucketing the pad
-    # size per chunk so XLA compiles once per (B, N_pad)
+    from flowmol_tpu.api import bucketed_sample
+
+    # sample size-bucketed padded batches (padding waste is quadratic in the
+    # pairwise compute); chunks respect max_batch_size (test.py:99-133)
+    sizes = pm.n_atoms_dist.sample(rng, args.n_mols)
     all_mols = []
-    sample_fns = {}
     t0 = time.time()
-    remaining = args.n_mols
-    chunk_idx = 0
+    batches = bucketed_sample(
+        model, params, sizes, seed=args.seed, n_timesteps=args.n_timesteps,
+        max_batch_size=args.max_batch_size, visualize=visualize,
+        stochasticity=args.stochasticity,
+        high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type)
     mol_counter = 0
-    while remaining > 0:
-        b = min(args.max_batch_size, remaining)
-        sizes = pm.n_atoms_dist.sample(rng, b)
-        n_pad = int(np.ceil(max(sizes.max(), 8) / 16) * 16)
-        node_mask = np.arange(n_pad)[None, :] < sizes[:, None]
-        key = (b, n_pad)
-        if key not in sample_fns:
-            sample_fns[key] = jax.jit(model.make_sample_fn(
-                n_timesteps=args.n_timesteps,
-                stochasticity=args.stochasticity,
-                high_confidence_threshold=args.hc_thresh,
-                dfm_type=args.dfm_type, visualize=visualize))
-        out = sample_fns[key](params, jax.random.PRNGKey(args.seed + chunk_idx),
-                              jnp.asarray(node_mask))
-        if visualize:
-            final, traj = out
-            traj = jax.tree.map(np.asarray, traj)
-        else:
-            final = out
-        final = jax.tree.map(np.asarray, final)
+    for final, node_mask, traj in batches:
         all_mols.extend(molecules_from_sampled_state(
             final, node_mask, model.cfg.atom_type_map,
             ctmc_mol=model.cfg.is_ctmc,
             fake_atoms=model.cfg.fake_atom_p > 0,
             explicit_aromaticity=model.cfg.explicit_aromaticity))
-
         if visualize:
             from flowmol_tpu.analysis.molecule_builder import \
                 trajectory_xyz_frames
             args.traj_dir.mkdir(parents=True, exist_ok=True)
-            for m in range(b):
+            for m in range(node_mask.shape[0]):
                 for ep, flag in ((False, args.xt_traj), (True, args.ep_traj)):
                     if not flag:
                         continue
@@ -131,9 +116,7 @@ def main():
                     tag = "ep" if ep else "xt"
                     fn = args.traj_dir / f"mol_{mol_counter + m}_{tag}.xyz"
                     fn.write_text("\n".join(frames) + "\n")
-        mol_counter += b
-        remaining -= b
-        chunk_idx += 1
+        mol_counter += node_mask.shape[0]
     sampling_time = time.time() - t0
     print(f"sampled {len(all_mols)} molecules in {sampling_time:.2f}s "
           f"({len(all_mols) / sampling_time:.2f} mols/s)")

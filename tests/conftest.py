@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon TPU plugin prepends itself to jax_platforms even when
+# JAX_PLATFORMS=cpu is set; force the faked CPU mesh explicitly
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # persistent compilation cache: repeat test runs skip XLA compilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_flowmol")
