@@ -276,13 +276,19 @@ class SampleAnalyzer:
         return {"flag_rate": float(flag_rate), "ood_rate": ood / n_mols}
 
     # ------------------------------------------------------------ posebusters
-    def run_posebusters(self, molecules) -> Dict:
+    def run_posebusters(self, molecules, pb_energy: bool = False) -> Dict:
         try:
             import posebusters as pb
+            import yaml
         except Exception:
             return {}
         rdmols = [m.rdkit_mol for m in molecules]
-        buster = pb.PoseBusters(config="mol")
+        if pb_energy:
+            config = "mol"  # full preset incl. energy ratio
+        else:
+            with open(Path(__file__).parent / "pb_config.yaml") as f:
+                config = yaml.safe_load(f)
+        buster = pb.PoseBusters(config=config)
         df = buster.bust(rdmols, None, None)
         out = {f"pb_{k}": float(v) for k, v in df.mean().to_dict().items()}
         valid = df[df["sanitization"] == True].values.astype(bool)  # noqa: E712

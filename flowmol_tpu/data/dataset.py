@@ -260,6 +260,48 @@ class BucketBatcher:
                    for b, c in counts.items())
 
 
+class SameSizeBatcher:
+    """Legacy batching where every molecule in a batch has the same atom
+    count, sampled by size frequency and capped by the edge budget.
+
+    Parity: SameSizeMoleculeSampler (/root/reference/flowmol/data_processing/
+    samplers.py:5-72); the distributed variant is the (rank, world_size)
+    sharding.  With padded batches this is a special case of BucketBatcher
+    where each bucket is an exact size, so padding waste is zero.
+    """
+
+    def __init__(self, n_atoms_per_mol: np.ndarray, max_num_edges: int = 40000,
+                 max_batch_size: int = 256, rank: int = 0, world_size: int = 1,
+                 seed: int = 0):
+        n = n_atoms_per_mol.shape[0]
+        sl = slice(rank * (n // world_size),
+                   n if rank == world_size - 1 else (rank + 1) * (n // world_size))
+        self.indices = np.arange(n)[sl]
+        self.sizes = np.asarray(n_atoms_per_mol)[self.indices]
+        self.unique_sizes, counts = np.unique(self.sizes, return_counts=True)
+        self.size_probs = counts / counts.sum()
+        self.max_num_edges = max_num_edges
+        self.max_batch_size = max_batch_size
+        self.seed = seed
+        self.epoch = 0
+
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        by_size = {int(s): self.indices[self.sizes == s]
+                   for s in self.unique_sizes}
+        remaining = {s: rng.permutation(v).tolist() for s, v in by_size.items()}
+        while any(remaining.values()):
+            sizes_left = [s for s, v in remaining.items() if v]
+            probs = np.array([len(remaining[s]) for s in sizes_left], float)
+            s = int(rng.choice(sizes_left, p=probs / probs.sum()))
+            bsz = int(np.clip(self.max_num_edges // max(s * (s - 1), 1), 1,
+                              self.max_batch_size))
+            batch = [remaining[s].pop() for _ in range(min(bsz,
+                                                           len(remaining[s])))]
+            yield s, np.asarray(batch)
+        self.epoch += 1
+
+
 class MoleculeDataModule:
     """Train/val iterators of padded TrainBatches (parity: data_module.py)."""
 

@@ -34,20 +34,32 @@ def load_config(run_dir) -> Dict:
 
 
 class CheckpointManager:
-    def __init__(self, run_dir, max_to_keep: int = 6):
+    """max_to_keep latest checkpoints; optionally keep the best-k by a
+    monitored metric (the reference's ModelCheckpoint save_top_k /
+    monitor=val_total_loss, configs/flowmol3.yml:45-49)."""
+
+    def __init__(self, run_dir, max_to_keep: int = 6,
+                 monitor: Optional[str] = None, mode: str = "min"):
         self.run_dir = Path(run_dir)
         self.ckpt_dir = (self.run_dir / "checkpoints").resolve()
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        opts = dict(max_to_keep=max_to_keep, create=True)
+        if monitor:
+            opts["best_fn"] = lambda m: m.get(monitor, float("inf"))
+            opts["best_mode"] = mode
+        self.monitor = monitor
         self.mngr = ocp.CheckpointManager(
-            self.ckpt_dir,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
-                                                 create=True))
+            self.ckpt_dir, options=ocp.CheckpointManagerOptions(**opts))
 
-    def save(self, step: int, state, extra: Optional[Dict[str, Any]] = None):
+    def save(self, step: int, state, extra: Optional[Dict[str, Any]] = None,
+             metrics: Optional[Dict[str, float]] = None):
         payload = {"state": state}
         if extra:
             payload["extra"] = extra
-        self.mngr.save(step, args=ocp.args.StandardSave(payload))
+        kw = {}
+        if self.monitor:
+            kw["metrics"] = {k: float(v) for k, v in (metrics or {}).items()}
+        self.mngr.save(step, args=ocp.args.StandardSave(payload), **kw)
         self.mngr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:

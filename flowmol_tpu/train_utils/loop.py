@@ -43,6 +43,7 @@ class Trainer:
                  processed_data_dir=None,
                  use_mesh: bool = False,
                  max_to_keep: int = 6,
+                 monitor: Optional[str] = None,
                  seed: int = 0,
                  logger: Optional[MetricsLogger] = None,
                  max_steps: Optional[int] = None):
@@ -75,7 +76,9 @@ class Trainer:
             self._shard = lambda b: jax.tree.map(jnp.asarray, b)
         self.eval_step = jax.jit(eval_step)
 
-        self.ckpt = CheckpointManager(self.run_dir, max_to_keep=max_to_keep)
+        self.ckpt = CheckpointManager(self.run_dir, max_to_keep=max_to_keep,
+                                      monitor=monitor)
+        self._last_val_metrics = {}
         self.logger = logger or MetricsLogger(self.run_dir)
         self.analyzer = SampleAnalyzer(processed_data_dir=processed_data_dir)
         self._sample_fns: Dict[int, object] = {}
@@ -187,13 +190,15 @@ class Trainer:
                     if vm:
                         vm["epoch_exact"] = epoch_exact
                         self.logger.log(vm, step=self.global_step)
+                        self._last_val_metrics = vm
 
                 if self.max_steps and self.global_step >= self.max_steps:
                     break
 
             self.ckpt.save(self.global_step, self.state,
                            extra={"epoch": epoch + 1,
-                                  "global_step": self.global_step})
+                                  "global_step": self.global_step},
+                           metrics=self._last_val_metrics)
             if self.max_steps and self.global_step >= self.max_steps:
                 break
         return self.state

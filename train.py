@@ -29,6 +29,7 @@ def parse_args():
                    help="cap training at 100 steps, no wandb")
     p.add_argument("--run_name", type=str, default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--seed-model", dest="seed_model", type=Path, default=None,
                    help="initialize parameters from another run's checkpoint "
                         "(parity: train.py --seed-model, load.py:27-37)")
@@ -80,6 +81,9 @@ def merge_config_and_args(config: dict, args) -> dict:
         config.setdefault("training", {})["max_num_edges"] = args.max_num_edges
     if args.batch_size is not None:
         config.setdefault("training", {})["batch_size"] = args.batch_size
+    if args.max_epochs is not None:
+        config.setdefault("training", {}).setdefault(
+            "trainer_args", {})["max_epochs"] = args.max_epochs
     mol_fm = config.setdefault("mol_fm", {})
     tlw = mol_fm.setdefault("total_loss_weights", {})
     for feat in "xace":
@@ -184,6 +188,8 @@ def main():
         processed_data_dir=resolve_data_dir(
             config["dataset"]["processed_data_dir"]),
         use_mesh=int(trainer_args.get("devices", 1)) > 1,
+        monitor=config.get("checkpointing", {}).get("monitor"),
+        max_to_keep=int(config.get("checkpointing", {}).get("save_top_k", 6)),
         seed=args.seed,
         logger=logger,
         max_steps=args.max_steps or (100 if args.debug else None),
