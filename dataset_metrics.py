@@ -44,6 +44,17 @@ def main():
 
     analyzer = SampleAnalyzer(processed_data_dir=data_dir)
     metrics = analyzer.analyze(mols, functional_validity=True)
+
+    # persist the reference MMFF energy distribution for energy_js_div
+    # (parity: utils/divergences.py save_reference_dist)
+    from flowmol_tpu.analysis.molecule_builder import HAVE_RDKIT
+    if HAVE_RDKIT:
+        energies = analyzer.compute_sample_energy(mols)
+        if energies:
+            from flowmol_tpu.analysis.metrics import DivergenceCalculator
+            DivergenceCalculator.save_reference_dist(
+                energies, data_dir / "energy_dist.npz")
+            print(f"wrote energy_dist.npz ({len(energies)} energies)")
     print(json.dumps(metrics, indent=2, default=float))
     with open(args.output, "wb") as f:
         pickle.dump(metrics, f)

@@ -105,9 +105,18 @@ class DivergenceCalculator:
     distribution (flowmol/utils/divergences.py)."""
 
     def __init__(self, ref_file):
+        # reference format (utils/divergences.py): {'bins': (B+1,), 'p': (B,)}
         d = np.load(ref_file)
         self.bins = d["bins"] if "bins" in d else d[d.files[0]]
-        self.ref_hist = d["hist"] if "hist" in d else d[d.files[1]]
+        key = "p" if "p" in d else ("hist" if "hist" in d else d.files[1])
+        self.ref_hist = d[key]
+
+    @staticmethod
+    def save_reference_dist(energies: List[float], path, n_bins: int = 199):
+        """Persist a reference energy histogram (utils/divergences.py:6-7)."""
+        hist, bins = np.histogram(energies, bins=n_bins, density=False)
+        p = hist / max(hist.sum(), 1)
+        np.savez(path, bins=bins, p=p)
 
     def js_divergence(self, energies: List[float]) -> float:
         h, _ = np.histogram(energies, bins=self.bins, density=False)

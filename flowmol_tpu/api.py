@@ -27,9 +27,15 @@ REPO_ROOT = Path(__file__).parent.parent
 # the reference's remote .ckpt files are torch Lightning checkpoints and are
 # not loadable into this framework)
 MODEL_REGISTRY = (
-    "qm9_ctmc", "geom_ctmc", "flowmol3",
-    "qm9_gaussian", "qm9_simplexflow", "qm9_dirichlet", "qm9_ctmc_base",
-    "geom_gaussian", "geom_simplexflow", "geom_dirichlet", "geom_ctmc_base",
+    "flowmol3",
+    "fm3_nodistort", "fm3_none",
+    "fm3_ahigh", "fm3_alow", "fm3_chigh", "fm3_clow",
+    "fm3_distort_extreme", "fm3_distort_highp", "fm3_distort_hight",
+    "fm3_distort_lowp", "fm3_distort_lowt",
+    "fm3_ehigh", "fm3_elow",
+    "fm3_fa_highp", "fm3_fa_highstd", "fm3_fa_lowp", "fm3_fa_lowstd",
+    "fm3_scprop_high", "fm3_scprop_low",
+    "fm3_xhigh", "fm3_xlow",
 )
 
 

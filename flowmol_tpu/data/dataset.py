@@ -333,10 +333,46 @@ class MoleculeDataModule:
             buckets=self.buckets, rank=self.rank, world_size=self.world_size,
             seed=self.seed, fake_atom_headroom=self.cfg.fake_atom_p)
 
-    def iter_split(self, split: str, rng: np.random.Generator
-                   ) -> Iterator[TrainBatch]:
+    def iter_split(self, split: str, rng: np.random.Generator,
+                   prefetch: int = 2) -> Iterator[TrainBatch]:
         ds = self.dataset(split)
-        for n_pad, idxs in self.batcher(split):
-            mols = [prepare_molecule(rng, ds.get_molecule(i), self.cfg)
-                    for i in idxs]
-            yield pad_batch(mols, n_pad)
+
+        def gen():
+            for n_pad, idxs in self.batcher(split):
+                mols = [prepare_molecule(rng, ds.get_molecule(i), self.cfg)
+                        for i in idxs]
+                yield pad_batch(mols, n_pad)
+
+        if prefetch <= 0:
+            yield from gen()
+        else:
+            yield from prefetch_iterator(gen(), prefetch)
+
+
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch so host-side batch prep (OT coupling,
+    padding) overlaps device compute — the role of the reference's
+    num_workers DataLoader processes (configs/flowmol3.yml:4)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item

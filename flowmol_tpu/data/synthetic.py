@@ -21,47 +21,106 @@ from flowmol_tpu.data.stats import (MarginalDists, NAtomsDistribution,
                                     compute_marginals)
 
 
+# typical max valences for the default qm9-like atom map order
+_DEFAULT_VALENCES = {"C": 4, "H": 1, "N": 3, "O": 2, "F": 1, "P": 3, "S": 2,
+                     "Cl": 1, "Br": 1, "I": 1}
+
+
 def generate_molecule(rng: np.random.Generator, n: int, n_atom_types: int,
                       n_charges: int = 6, n_bond_types: int = 4,
-                      p_a: Optional[np.ndarray] = None):
-    if p_a is None:
-        p_a = np.ones(n_atom_types) / n_atom_types
-    a = rng.choice(n_atom_types, size=n, p=p_a / p_a.sum()).astype(np.int16)
-    # charges concentrated at 0 (token 2 after +2 offset)
-    c = rng.choice([-1, 0, 1], size=n, p=[0.05, 0.9, 0.05]).astype(np.int16)
+                      p_a: Optional[np.ndarray] = None,
+                      atom_map=("C", "H", "N", "O", "F")):
+    """One connected, valence-consistent fake molecule.
 
-    # positions: branched random walk with ~1.5 A steps
+    Bonds are assigned subject to per-element maximum valences so a model
+    trained on this data has learnable local structure (atom stability /
+    connectivity are achievable, unlike fully random graphs)."""
+    atom_map = list(atom_map)[:n_atom_types]
+    while len(atom_map) < n_atom_types:
+        atom_map.append("C")
+    max_val = np.array([_DEFAULT_VALENCES.get(s, 4) for s in atom_map])
+
+    # heavy-atom skeleton first, hydrogens attach as leaves afterwards
+    n_h = int(n * 0.45) if "H" in atom_map else 0
+    n_heavy = max(n - n_h, 1)
+    heavy_types = [i for i, s in enumerate(atom_map) if s != "H"]
+    h_tok = atom_map.index("H") if "H" in atom_map else -1
+    p_heavy = np.array([0.7 if atom_map[t] == "C" else 0.3 /
+                        max(len(heavy_types) - 1, 1) for t in heavy_types])
+    a = list(rng.choice(heavy_types, size=n_heavy,
+                        p=p_heavy / p_heavy.sum()))
+    remaining = [int(max_val[t]) for t in a]
+
+    bonds, bond_types = [], []
+
+    def add_bond(i, j, order):
+        bonds.append((min(i, j), max(i, j)))
+        bond_types.append(order)
+        remaining[i] -= order
+        remaining[j] -= order
+
+    # spanning tree over heavy atoms, respecting remaining valence; if every
+    # earlier atom is saturated (rare all-univalent runs), relabel this atom
+    # carbon and attach to the last atom, restoring its budget first
+    for i in range(1, n_heavy):
+        candidates = [j for j in range(i) if remaining[j] >= 1]
+        if not candidates:
+            j = i - 1
+            a[j] = atom_map.index("C") if "C" in atom_map else a[j]
+            used = sum(o for (u, v), o in zip(bonds, bond_types)
+                       if u == j or v == j)
+            remaining[j] = int(max_val[a[j]]) - used
+            candidates = [j] if remaining[j] >= 1 else [j]
+        j = int(rng.choice(candidates))
+        order = 1
+        if remaining[i] >= 2 and remaining[j] >= 2 and rng.random() < 0.15:
+            order = 2
+        add_bond(i, j, min(order, n_bond_types - 1))
+
+    # occasional ring closure
+    for _ in range(max(n_heavy // 6, 0)):
+        cand = [j for j in range(n_heavy) if remaining[j] >= 1]
+        if len(cand) >= 2:
+            i, j = rng.choice(cand, 2, replace=False)
+            if i != j and (min(i, j), max(i, j)) not in set(bonds):
+                add_bond(int(i), int(j), 1)
+
+    # hydrogens fill leftover valence; stop when the skeleton is saturated
+    for _ in range(n - n_heavy):
+        cand = [j for j in range(n_heavy) if remaining[j] >= 1]
+        if not cand:
+            break
+        anchor = int(rng.choice(cand))
+        a.append(h_tok)
+        remaining.append(0)
+        add_bond(len(a) - 1, anchor, 1)
+
+    a = np.asarray(a, np.int16)
+    n = len(a)
+    c = np.zeros(n, np.int16)  # neutral molecules
+
+    # positions: lay out along the bond tree with ~1.5 A steps
     x = np.zeros((n, 3), np.float32)
-    parents = np.zeros(n, np.int64)
-    for i in range(1, n):
-        parents[i] = rng.integers(0, i)
-        step = rng.standard_normal(3)
-        step = 1.5 * step / (np.linalg.norm(step) + 1e-8)
-        x[i] = x[parents[i]] + step + rng.standard_normal(3) * 0.1
+    placed = np.zeros(n, bool)
+    placed[0] = True
+    adj_list = [[] for _ in range(n)]
+    for (i, j), _o in zip(bonds, bond_types):
+        adj_list[i].append(j)
+        adj_list[j].append(i)
+    order_q = [0]
+    while order_q:
+        i = order_q.pop()
+        for j in adj_list[i]:
+            if not placed[j]:
+                step = rng.standard_normal(3)
+                step = 1.45 * step / (np.linalg.norm(step) + 1e-8)
+                x[j] = x[i] + step + rng.standard_normal(3) * 0.08
+                placed[j] = True
+                order_q.append(j)
 
-    # bonds: spanning tree edges + a few ring-closing short-range edges
-    bonds = [(int(parents[i]), i) for i in range(1, n)]
-    if n > 4:
-        d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
-        iu, ju = np.triu_indices(n, 1)
-        close = np.argsort(d[iu, ju])[: n // 4]
-        existing = set(bonds)
-        for k in close:
-            p = (int(iu[k]), int(ju[k]))
-            if p not in existing and rng.random() < 0.3:
-                bonds.append(p)
-                existing.add(p)
     bonds = np.asarray(bonds, np.int32).reshape(-1, 2)
-    bond_types = rng.choice(np.arange(1, n_bond_types),
-                            size=bonds.shape[0],
-                            p=_bond_p(n_bond_types)).astype(np.int16)
+    bond_types = np.asarray(bond_types, np.int16)
     return x - x.mean(0, keepdims=True), a, c, bonds, bond_types
-
-
-def _bond_p(n_bond_types: int) -> np.ndarray:
-    # single bonds dominate
-    p = np.array([0.85, 0.12, 0.03, 0.05][: n_bond_types - 1], np.float64)
-    return p / p.sum()
 
 
 def generate_dataset(out_dir, n_molecules: int = 1000, seed: int = 0,

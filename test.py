@@ -37,6 +37,8 @@ def parse_args():
     p.add_argument("--ep_traj", action="store_true",
                    help="write per-molecule predicted-endpoint trajectory XYZ")
     p.add_argument("--traj_dir", type=Path, default=Path("trajectories"))
+    p.add_argument("--profile", type=Path, default=None,
+                   help="capture a jax.profiler trace of sampling")
     p.add_argument("--seed", type=int, default=123)
     return p.parse_args()
 
@@ -88,6 +90,8 @@ def main():
     # pairwise compute); chunks respect max_batch_size (test.py:99-133)
     sizes = pm.n_atoms_dist.sample(rng, args.n_mols)
     all_mols = []
+    if args.profile:
+        jax.profiler.start_trace(str(args.profile))
     t0 = time.time()
     batches = bucketed_sample(
         model, params, sizes, seed=args.seed, n_timesteps=args.n_timesteps,
@@ -118,6 +122,9 @@ def main():
                     fn.write_text("\n".join(frames) + "\n")
         mol_counter += node_mask.shape[0]
     sampling_time = time.time() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profile trace -> {args.profile}")
     print(f"sampled {len(all_mols)} molecules in {sampling_time:.2f}s "
           f"({len(all_mols) / sampling_time:.2f} mols/s)")
 

@@ -1,0 +1,76 @@
+"""Checkpoint save/restore/resume roundtrips (the run-dir contract)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowmol_tpu.train_utils.checkpoint import (CheckpointManager, load_config,
+                                                save_config)
+from flowmol_tpu.train_utils.optim import LRScheduleConfig, lr_at
+from flowmol_tpu.train_utils.step import create_train_state
+from tests.helpers import tiny_config
+
+
+def test_state_roundtrip(tmp_path):
+    from flowmol_tpu.model import FlowMol
+
+    cfg = tiny_config()
+    model = FlowMol(cfg)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0),
+                                  LRScheduleConfig(), ema_decay=0.9)
+    cm = CheckpointManager(tmp_path, max_to_keep=2)
+    cm.save(7, state, extra={"epoch": 3, "global_step": 7})
+
+    tpl, _ = create_train_state(model, jax.random.PRNGKey(1),
+                                LRScheduleConfig(), ema_decay=0.9)
+    step, restored = cm.restore(template=(tpl, {"epoch": 0, "global_step": 0}))
+    assert step == 7
+    assert restored["extra"]["epoch"] == 3
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored["state"].params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # ema restored too
+    e0 = jax.tree.leaves(state.ema)[0]
+    e1 = jax.tree.leaves(restored["state"].ema)[0]
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = {"dataset": {"atom_map": ["C", "H"]}, "mol_fm": {"distort_p": 0.2}}
+    save_config(tmp_path, cfg)
+    assert load_config(tmp_path) == cfg
+
+
+def test_lr_schedule_values():
+    cfg = LRScheduleConfig(base_lr=1e-3, warmup_length=2.0,
+                           restart_interval=4.0, restart_type="linear")
+    # warmup: linear to base over 2 epochs
+    assert float(lr_at(cfg, 1.0)) == pytest.approx(5e-4)
+    assert float(lr_at(cfg, 2.0)) == pytest.approx(1e-3)
+    # one epoch into the first restart interval: 1 - 1/4 of base
+    assert float(lr_at(cfg, 3.0)) == pytest.approx(7.5e-4)
+    # start of the second interval: back to base
+    assert float(lr_at(cfg, 6.0)) == pytest.approx(1e-3)
+
+    cos = LRScheduleConfig(base_lr=1e-3, warmup_length=0.0,
+                           restart_interval=2.0, restart_type="cosine")
+    assert float(lr_at(cos, 1.0)) == pytest.approx(5e-4, rel=1e-3)
+
+
+def test_prefetch_iterator():
+    from flowmol_tpu.data.dataset import prefetch_iterator
+    out = list(prefetch_iterator(iter(range(10)), depth=3))
+    assert out == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch_iterator(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)

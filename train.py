@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--run_name", type=str, default=None)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--profile", type=Path, default=None,
+                   help="capture a jax.profiler trace of the first ~20 steps "
+                        "into this directory")
     p.add_argument("--seed-model", dest="seed_model", type=Path, default=None,
                    help="initialize parameters from another run's checkpoint "
                         "(parity: train.py --seed-model, load.py:27-37)")
@@ -208,7 +211,17 @@ def main():
         print(f"seeded parameters from {args.seed_model}")
 
     print(f"training -> {run_dir}")
-    trainer.fit()
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(str(args.profile))
+        try:
+            trainer.max_steps = min(trainer.max_steps or 20, 20)
+            trainer.fit()
+        finally:
+            jax.profiler.stop_trace()
+            print(f"profile trace -> {args.profile}")
+    else:
+        trainer.fit()
     logger.close()
 
 
