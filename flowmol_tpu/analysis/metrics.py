@@ -205,7 +205,7 @@ class SampleAnalyzer:
             frag_fracs.append(mol.largest_frag_frac)
 
             if HAVE_RDKIT:
-                rdmol = mol.build_molecule()
+                rdmol = mol.rdkit_mol  # cached; fragments below are copies
                 if rdmol is None:
                     errors["build"] += 1
                     continue
@@ -264,9 +264,9 @@ class SampleAnalyzer:
             return {}
         sanitized = []
         for mol in molecules:
-            rdmol = mol.build_molecule()
-            if rdmol is None:
+            if mol.rdkit_mol is None:
                 continue
+            rdmol = Chem.Mol(mol.rdkit_mol)  # copy: SanitizeMol mutates
             try:
                 Chem.SanitizeMol(rdmol)
                 sanitized.append(rdmol)

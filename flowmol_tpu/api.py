@@ -66,8 +66,8 @@ def model_from_config(config: Dict) -> FlowMol:
     return FlowMol(FlowMolConfig.from_config(config))
 
 
-def data_module_from_config(config: Dict, rank: int = 0, world_size: int = 1
-                            ) -> MoleculeDataModule:
+def data_module_from_config(config: Dict, rank: int = 0, world_size: int = 1,
+                            divisible_by: int = 1) -> MoleculeDataModule:
     ds = config["dataset"]
     mol_fm = config.get("mol_fm", {})
     train_cfg = config.get("training", {})
@@ -84,7 +84,7 @@ def data_module_from_config(config: Dict, rank: int = 0, world_size: int = 1
     return MoleculeDataModule(
         resolve_data_dir(ds["processed_data_dir"]), data_cfg,
         max_num_edges=int(train_cfg.get("max_num_edges") or 40000),
-        rank=rank, world_size=world_size,
+        rank=rank, world_size=world_size, divisible_by=divisible_by,
         dataset_size=ds.get("dataset_size"))
 
 

@@ -209,7 +209,7 @@ class BucketBatcher:
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  min_batch_size: int = 1, max_batch_size: int = 256,
                  rank: int = 0, world_size: int = 1, seed: int = 0,
-                 fake_atom_headroom: float = 0.0):
+                 fake_atom_headroom: float = 0.0, divisible_by: int = 1):
         # fake atoms enlarge molecules by up to ceil(n * p); reserve headroom
         eff = np.ceil(n_atoms_per_mol * (1.0 + fake_atom_headroom)).astype(int)
         self.buckets = [b for b in buckets if b >= int(eff.min())]
@@ -218,11 +218,14 @@ class BucketBatcher:
                 f"molecule with {int(eff.max())} atoms exceeds largest bucket")
         self.bucket_of = np.searchsorted(np.asarray(buckets), eff, side="left")
         self.bucket_sizes = np.asarray(buckets)
-        self.batch_size_for = {
-            int(b): int(np.clip(max_num_edges // max(b * (b - 1), 1),
-                                min_batch_size, max_batch_size))
-            for b in buckets
-        }
+        # batch sizes rounded to a multiple of `divisible_by` (multi-host
+        # row sharding requires the global batch to divide the host count)
+        def _bsz(b):
+            raw = int(np.clip(max_num_edges // max(b * (b - 1), 1),
+                              min_batch_size, max_batch_size))
+            return max((raw // divisible_by) * divisible_by, divisible_by)
+
+        self.batch_size_for = {int(b): _bsz(b) for b in buckets}
         n = n_atoms_per_mol.shape[0]
         per = n // world_size
         start = rank * per
@@ -308,13 +311,14 @@ class MoleculeDataModule:
     def __init__(self, processed_dir, data_cfg: DataConfig,
                  max_num_edges: int = 40000, buckets=DEFAULT_BUCKETS,
                  rank: int = 0, world_size: int = 1, seed: int = 0,
-                 dataset_size: Optional[int] = None):
+                 dataset_size: Optional[int] = None, divisible_by: int = 1):
         self.processed_dir = Path(processed_dir)
         self.cfg = data_cfg
         self.max_num_edges = max_num_edges
         self.buckets = buckets
         self.rank, self.world_size, self.seed = rank, world_size, seed
         self.dataset_size = dataset_size
+        self.divisible_by = divisible_by
         self._datasets: Dict[str, PackedDataset] = {}
 
     def dataset(self, split: str) -> PackedDataset:
@@ -327,11 +331,19 @@ class MoleculeDataModule:
         return self._datasets[split]
 
     def batcher(self, split: str) -> BucketBatcher:
-        ds = self.dataset(split)
-        return BucketBatcher(
-            ds.n_atoms_per_mol, max_num_edges=self.max_num_edges,
-            buckets=self.buckets, rank=self.rank, world_size=self.world_size,
-            seed=self.seed, fake_atom_headroom=self.cfg.fake_atom_p)
+        """Persistent per-split batcher so its epoch counter advances and the
+        shuffle differs every epoch."""
+        if not hasattr(self, "_batchers"):
+            self._batchers = {}
+        if split not in self._batchers:
+            ds = self.dataset(split)
+            self._batchers[split] = BucketBatcher(
+                ds.n_atoms_per_mol, max_num_edges=self.max_num_edges,
+                buckets=self.buckets, rank=self.rank,
+                world_size=self.world_size, seed=self.seed,
+                fake_atom_headroom=self.cfg.fake_atom_p,
+                divisible_by=self.divisible_by)
+        return self._batchers[split]
 
     def iter_split(self, split: str, rng: np.random.Generator,
                    prefetch: int = 2) -> Iterator[TrainBatch]:
@@ -352,27 +364,45 @@ class MoleculeDataModule:
 def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
     """Background-thread prefetch so host-side batch prep (OT coupling,
     padding) overlaps device compute — the role of the reference's
-    num_workers DataLoader processes (configs/flowmol3.yml:4)."""
+    num_workers DataLoader processes (configs/flowmol3.yml:4).
+
+    The worker exits promptly when the consumer abandons the iterator
+    early (e.g. limit_val_batches or max_steps): puts use a timeout and
+    check a stop flag, and generator close/GC sets the flag."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(sentinel)
+                if not _put(item):
+                    return
+            _put(sentinel)
         except BaseException as e:  # surface worker errors to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -1,12 +1,12 @@
 """Synthetic molecule dataset generator.
 
 The container has neither the raw GEOM/QM9 data nor RDKit, so for tests,
-smoke training and benchmarking we generate chemically-plausible fake
-molecules: sizes drawn from the real dataset histograms (assets/data/*),
-atom types/charges from the real marginals, positions from a random-walk
-with bond-length-scaled steps, and bonds from a random spanning tree plus
-extra short-range edges.  The storage format and every downstream code path
-(batching, priors, training, sampling, analysis) are identical to real data.
+smoke training and benchmarking we generate connected, valence-consistent
+fake molecules: sizes drawn from the real dataset histograms (assets/data/*),
+a carbon-dominated heavy-atom skeleton laid out along the bond tree with
+~1.45 A steps, hydrogens filling leftover valence.  The storage format and
+every downstream code path (batching, priors, training, sampling, analysis)
+are identical to real data.
 """
 
 from __future__ import annotations
@@ -27,8 +27,7 @@ _DEFAULT_VALENCES = {"C": 4, "H": 1, "N": 3, "O": 2, "F": 1, "P": 3, "S": 2,
 
 
 def generate_molecule(rng: np.random.Generator, n: int, n_atom_types: int,
-                      n_charges: int = 6, n_bond_types: int = 4,
-                      p_a: Optional[np.ndarray] = None,
+                      n_bond_types: int = 4,
                       atom_map=("C", "H", "N", "O", "F")):
     """One connected, valence-consistent fake molecule.
 
@@ -60,22 +59,32 @@ def generate_molecule(rng: np.random.Generator, n: int, n_atom_types: int,
         remaining[j] -= order
 
     # spanning tree over heavy atoms, respecting remaining valence; if every
-    # earlier atom is saturated (rare all-univalent runs), relabel this atom
-    # carbon and attach to the last atom, restoring its budget first
+    # earlier atom is saturated, relabel the previous atom carbon (when
+    # available) to free budget, otherwise truncate the skeleton rather than
+    # violate a valence
+    truncated_at = None
     for i in range(1, n_heavy):
         candidates = [j for j in range(i) if remaining[j] >= 1]
-        if not candidates:
+        if not candidates and "C" in atom_map:
             j = i - 1
-            a[j] = atom_map.index("C") if "C" in atom_map else a[j]
+            a[j] = atom_map.index("C")
             used = sum(o for (u, v), o in zip(bonds, bond_types)
                        if u == j or v == j)
             remaining[j] = int(max_val[a[j]]) - used
-            candidates = [j] if remaining[j] >= 1 else [j]
+            if remaining[j] >= 1:
+                candidates = [j]
+        if not candidates:
+            truncated_at = i
+            break
         j = int(rng.choice(candidates))
         order = 1
         if remaining[i] >= 2 and remaining[j] >= 2 and rng.random() < 0.15:
             order = 2
         add_bond(i, j, min(order, n_bond_types - 1))
+    if truncated_at is not None:
+        a = a[:truncated_at]
+        remaining = remaining[:truncated_at]
+        n_heavy = truncated_at
 
     # occasional ring closure
     for _ in range(max(n_heavy // 6, 0)):
@@ -140,7 +149,8 @@ def generate_dataset(out_dir, n_molecules: int = 1000, seed: int = 0,
         sizes = rng.integers(6, 30, size=n_molecules)
 
     mols = [generate_molecule(rng, int(s), n_atom_types,
-                              n_bond_types=n_bond_types) for s in sizes]
+                              n_bond_types=n_bond_types,
+                              atom_map=atom_map) for s in sizes]
 
     n_train = int(splits[0] * n_molecules)
     n_val = int(splits[1] * n_molecules)

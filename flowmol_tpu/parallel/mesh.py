@@ -66,6 +66,27 @@ def jit_sample_fn(sample_fn, mesh: Mesh, axis_name: str = "data"):
     return jax.jit(sample_fn, in_shardings=(repl, repl, bsh))
 
 
+def shard_global_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Multi-process sharding: every host builds the identical global batch
+    (shared batcher schedule → identical compiled programs/collectives on all
+    hosts), then contributes only its contiguous row slice to the global
+    array.  The global batch size must divide jax.process_count()."""
+    h, n_hosts = jax.process_index(), jax.process_count()
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(a):
+        a = np.asarray(a)
+        b = a.shape[0]
+        per = b // n_hosts
+        if per * n_hosts != b:
+            raise ValueError(
+                f"global batch size {b} not divisible by {n_hosts} hosts")
+        local = a[h * per:(h + 1) * per]
+        return jax.make_array_from_process_local_data(sh, local, a.shape)
+
+    return jax.tree.map(put, batch)
+
+
 def per_host_slice(n_total: int, host_id: int, n_hosts: int) -> slice:
     """Contiguous per-host dataset fraction, mirroring the reference's
     rank-aware sharding (adaptive_sampler.py:22-29)."""

@@ -66,10 +66,16 @@ class Trainer:
         train_step = make_train_step(model, self.tx, lr_cfg, ema_decay)
         eval_step = make_eval_step(model)
 
+        self.is_primary = jax.process_index() == 0
         if use_mesh and len(jax.devices()) > 1:
             self.mesh = pmesh.make_mesh()
             self.train_step = pmesh.jit_train_step(train_step, self.mesh)
-            self._shard = lambda b: pmesh.shard_batch_pytree(b, self.mesh)
+            if jax.process_count() > 1:
+                # multi-host: identical global batches on every host, each
+                # contributing its row slice (see mesh.shard_global_batch)
+                self._shard = lambda b: pmesh.shard_global_batch(b, self.mesh)
+            else:
+                self._shard = lambda b: pmesh.shard_batch_pytree(b, self.mesh)
         else:
             self.mesh = None
             self.train_step = jax.jit(train_step)
@@ -106,9 +112,11 @@ class Trainer:
         """In-training molecule sampling eval (flowmol.py:241-253)."""
         if self.n_atoms_dist is None or not self.model.cfg.is_ctmc:
             return {}
+        from flowmol_tpu.api import SAMPLING_BUCKETS
         rng = np.random.default_rng(rng_seed)
         sizes = self.n_atoms_dist.sample(rng, self.n_mols_to_sample)
-        n_pad = int(2 ** np.ceil(np.log2(max(sizes.max(), 8))))
+        n_pad = next((b for b in SAMPLING_BUCKETS if sizes.max() <= b),
+                     int(np.ceil(sizes.max() / 32) * 32))
         node_mask = np.arange(n_pad)[None, :] < sizes[:, None]
         params = self.state.ema if self.state.ema is not None else \
             self.state.params
@@ -195,10 +203,11 @@ class Trainer:
                 if self.max_steps and self.global_step >= self.max_steps:
                     break
 
-            self.ckpt.save(self.global_step, self.state,
-                           extra={"epoch": epoch + 1,
-                                  "global_step": self.global_step},
-                           metrics=self._last_val_metrics)
+            if self.is_primary:  # replicated state: rank 0 persists
+                self.ckpt.save(self.global_step, self.state,
+                               extra={"epoch": epoch + 1,
+                                      "global_step": self.global_step},
+                               metrics=self._last_val_metrics)
             if self.max_steps and self.global_step >= self.max_steps:
                 break
         return self.state

@@ -1,7 +1,5 @@
 """Checkpoint save/restore/resume roundtrips (the run-dir contract)."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

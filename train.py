@@ -166,8 +166,28 @@ def main():
 
     np.random.seed(args.seed)
 
+    # multi-host pods: initialize the jax distributed runtime when a
+    # coordinator is configured (TPU-native counterpart of Lightning's
+    # num_nodes, configs/flowmol3.yml:11); each host then loads its
+    # contiguous dataset fraction (adaptive_sampler.py:22-29 parity)
+    import os
+    n_hosts = 1
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+        jax.distributed.initialize()
+        n_hosts = jax.process_count()
+        print(f"distributed: host {jax.process_index()}/{n_hosts}")
+
     model = model_from_config(config)
-    data = data_module_from_config(config)
+    # multi-host: every host iterates the IDENTICAL batch schedule (same
+    # seed, no per-rank batcher sharding) so the pjit'd programs and
+    # collectives match across processes; each host then contributes its
+    # row slice of every global batch (mesh.shard_global_batch).  Batch
+    # sizes must divide the data-mesh size (and hence the host count).
+    n_mesh_devices = int(config.get("training", {}).get(
+        "trainer_args", {}).get("devices", 1) or 1)
+    divisible_by = max(n_hosts, n_mesh_devices if n_mesh_devices > 1 else 1)
+    data = data_module_from_config(config, divisible_by=divisible_by)
     train_cfg = config.get("training", {})
     trainer_args = train_cfg.get("trainer_args", {}) or {}
     eval_cfg = train_cfg.get("evaluation", {}) or {}
