@@ -148,9 +148,8 @@ class FlowMolConfig:
             n_bond_types=n_bond, has_mask=(parameterization == "ctmc"))
 
         samp_keys = {f.name for f in dataclasses.fields(SamplingConfig)}
-        samp_kw = {k: v for k, v in vf_cfg.items() if k in samp_keys and v is not None}
-        if "continuous_inv_temp_max" in vf_cfg:
-            samp_kw["continuous_inv_temp_max"] = vf_cfg["continuous_inv_temp_max"]
+        samp_kw = {k: v for k, v in vf_cfg.items()
+                   if k in samp_keys and v is not None}
 
         prior_cfg = mol_fm.get("prior_config", {}) or {}
         prior_x_std = float(((prior_cfg.get("x") or {}).get("kwargs") or {})
@@ -382,10 +381,15 @@ class FlowMol:
 
         # ---- x (MSE) ----
         if cfg.parameterization == "vector-field":
+            # the vector-field parameterization predicts the velocity: the
+            # network's position output minus x_t (VectorField.forward,
+            # vector_field.py:600-605) — in training AND sampling
             x_target = alpha_prime[:, 0][:, None, None] * (batch.x1 - batch.x0)
+            x_pred = dst["x"] - state["x"]
         else:
             x_target = batch.x1
-        se = jnp.square(dst["x"] - x_target) * nmf[..., None]
+            x_pred = dst["x"]
+        se = jnp.square(x_pred - x_target) * nmf[..., None]
         w = tw[:, 0][:, None, None]
         losses["x"] = jnp.sum(se * w) / jnp.maximum(jnp.sum(nmf) * 3.0, 1.0)
 
@@ -432,15 +436,27 @@ class FlowMol:
                         cw = 1.0 - pw
                         ce = ce * cw[tokens]
 
+            denom = jnp.sum(valid)
             if cfg.is_ctmc:
                 # loss only where x_t is still the mask token
-                # (flowmol.py:378-384); masked-out entries contribute 0 but
-                # remain in the denominator (torch reduction='none' + .mean()).
+                # (flowmol.py:378-384).  With time_scaled_loss the reference
+                # uses reduction='none' + .mean(), so ignored entries stay in
+                # the denominator; without it, CrossEntropyLoss('mean')
+                # divides by the non-ignored count only.
                 is_masked = (jnp.argmax(xt, -1) == cfg.mask_idxs[feat])
                 ce = ce * is_masked
+                if not cfg.time_scaled_loss:
+                    denom = jnp.sum(valid * is_masked)
+            if (not cfg.time_scaled_loss and cfg.weight_ae
+                    and feat in ("a", "e")):
+                pw = p_a if feat == "a" else p_e
+                if pw is not None:
+                    # weighted 'mean' divides by the sum of target weights
+                    denom = jnp.sum((1.0 - pw)[tokens] * valid *
+                                    (is_masked if cfg.is_ctmc else 1.0))
 
             ce = ce * valid * w
-            losses[feat] = jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1.0)
+            losses[feat] = jnp.sum(ce) / jnp.maximum(denom, 1.0)
 
         total = sum(wt * losses[f]
                     for wt, f in zip(cfg.total_loss_weights, CANONICAL_FEAT_ORDER))
@@ -563,7 +579,7 @@ class FlowMol:
 
         def step(carry, xs):
             st, prev_dst, key = carry
-            t_i, alpha_i, alpha_s, ap_i, last, dt = xs
+            t_i, alpha_i, ap_i, last, dt = xs
             key, k_step = jax.random.split(key)
             dst = forward(st, t_i, prev_dst)
 
@@ -610,7 +626,7 @@ class FlowMol:
                 ys = None
             return (new_st, new_prev, key), ys
 
-        xs = (t_grid[:-1], alpha[:-1], alpha[1:], alpha_prime[:-1],
+        xs = (t_grid[:-1], alpha[:-1], alpha_prime[:-1],
               jnp.arange(n_timesteps - 1) == n_timesteps - 2,
               t_grid[1:] - t_grid[:-1])
         (final_state, final_dst, _), traj = jax.lax.scan(

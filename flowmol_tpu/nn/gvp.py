@@ -146,9 +146,10 @@ class PairGVP(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, sc, d_ef, s_dst, x_diff, vc, v_dst, pair_mask):
+    def __call__(self, sc, d_ef, s_dst, x_diff, vc, v_dst):
         """sc (B,N,Ds), d_ef (B,N,N,Dde), s_dst (B,N,Dsd)|None,
-        x_diff (B,N,N,3), vc (B,N,Dv,3), v_dst (B,N,Dvd,3)|None."""
+        x_diff (B,N,N,3), vc (B,N,Dv,3), v_dst (B,N,Dvd,3)|None.
+        (Masking happens at aggregation in GVPConv.)"""
         dt = self.dtype or sc.dtype
         v_in = 1 + self.v_src_dim + self.v_dst_dim
         dim_h = max(v_in, self.v_out)
@@ -312,6 +313,10 @@ class GVPConv(nn.Module):
         s_msg = self.s_message_dim or self.scalar_size
         v_msg = self.v_message_dim or self.vector_size
         compressed = (s_msg != self.scalar_size) or (v_msg != self.vector_size)
+        if self.attention and (s_msg % self.n_heads or v_msg % self.n_heads):
+            raise ValueError(
+                "Number of attention heads must divide the message size "
+                f"(s_msg={s_msg}, v_msg={v_msg}, n_heads={self.n_heads})")
 
         # --- node compression ------------------------------------------------
         sc, vc = s, v
@@ -390,7 +395,7 @@ class GVPConv(nn.Module):
             s_src_dim=s_msg, s_edge_dim=d_ef.shape[-1], s_dst_dim=s_dst_dim,
             v_src_dim=v_msg, v_dst_dim=v_dst_dim, s_out=s0_out, v_out=v0_out,
             n_cp_feats=self.n_cp_feats, dtype=dt,
-            name="edge_message_0")(sc, d_ef, s_dst, x_diff, vc, v_dst, pair_mask)
+            name="edge_message_0")(sc, d_ef, s_dst, x_diff, vc, v_dst)
         if len(dims) > 1:
             msg_s, msg_v = GVPChain(dims[1:], self.n_cp_feats, dtype=dt,
                                     name="edge_message")((msg_s, msg_v))

@@ -95,6 +95,13 @@ class VectorFieldConfig:
                    n_bond_types=n_bond_types, has_mask=has_mask, **kw)
 
 
+def pairwise_rbf(x: jnp.ndarray, rbf_dmax: float, rbf_dim: int):
+    """RBF-embedded pairwise distances only: (B,N,3) -> (B,N,N,rbf_dim)."""
+    diff = x[:, None, :, :] - x[:, :, None, :]
+    dij = norm_no_nan(diff, axis=-1) + 1e-8
+    return rbf(dij, d_max=rbf_dmax, d_count=rbf_dim)
+
+
 def pairwise_distances(x: jnp.ndarray, rbf_dmax: float, rbf_dim: int):
     """x (B,N,3) -> unit displacement x_diff (B,N,N,3) with [b,i,j] = unit(x_j - x_i),
     and RBF-embedded distances d (B,N,N,rbf_dim).
@@ -131,14 +138,9 @@ class SelfConditioningResidual(nn.Module):
         # edge branch: change in RBF-embedded edge length to the endpoint
         # (per-pair MLPs run in the compute dtype — this is per-step hot work
         # on the sampling path)
-        def edge_d(pos):
-            diff = pos[:, None, :, :] - pos[:, :, None, :]
-            dij = norm_no_nan(diff, axis=-1) + 1e-8
-            return rbf(dij, d_max=c.rbf_dmax, d_count=c.rbf_dim)
-
         dt = c.dtype
-        d_t = edge_d(x)
-        d_1 = edge_d(prev["x"])
+        d_t = pairwise_rbf(x, c.rbf_dmax, c.rbf_dim)
+        d_1 = pairwise_rbf(prev["x"], c.rbf_dmax, c.rbf_dim)
         ef_sym = symmetrize_edge_feats(ef)  # canonical upper-triangle values
         edge_in = jnp.concatenate([ef_sym.astype(dt), prev["e"].astype(dt),
                                    (d_1 - d_t).astype(dt)], axis=-1)
@@ -256,7 +258,21 @@ class MolGVPNet(nn.Module):
                  deterministic):
         c = self.cfg
         pair_mask = node_mask_to_pair_mask(node_mask)
-        x_diff, d = pairwise_distances(x, c.rbf_dmax, c.rbf_dim)
+
+        # the explicit-weight message path computes pairwise geometry
+        # internally (fused with the first layer), so only materialize
+        # x_diff/d here when something else consumes them
+        explicit_msgs = (not c.attention and c.s_message_dim is None
+                         and c.v_message_dim is None)
+
+        def geometry(pos):
+            if not explicit_msgs:
+                return pairwise_distances(pos, c.rbf_dmax, c.rbf_dim)
+            if c.update_edge_w_distance:
+                return None, pairwise_rbf(pos, c.rbf_dmax, c.rbf_dim)
+            return None, None
+
+        x_diff, d = geometry(x)
 
         for _ in range(c.n_recycles):
             for conv_idx, conv in enumerate(self.conv_layers):
@@ -269,7 +285,7 @@ class MolGVPNet(nn.Module):
                                if c.separate_mol_updaters else 0)
                     x = self.node_position_updaters[upd_idx](s, x, v)
                     x = x * node_mask[..., None]
-                    x_diff, d = pairwise_distances(x, c.rbf_dmax, c.rbf_dim)
+                    x_diff, d = geometry(x)
                     ef = self.edge_updaters[upd_idx](s, ef, d)
 
         node_out = self.node_output_head(s)
