@@ -282,7 +282,27 @@ class SampleAnalyzer:
             sanitized)
         ood = sum(s for s, c in zip(sample_counts.values(),
                                     chembl_counts.values()) if c == 0)
-        return {"flag_rate": float(flag_rate), "ood_rate": ood / n_mols}
+        out = {"flag_rate": float(flag_rate), "ood_rate": ood / n_mols}
+
+        # cumulative REOS deviation vs the training profile when available
+        # (metrics.py:258-331, 401-416: sum |flag_rate_model - flag_rate_train|
+        # per rule; the reference auto-downloads train_reos_ring_counts.pkl)
+        train_ref = None
+        if self.processed_data_dir is not None:
+            f = self.processed_data_dir / "train_reos_ring_counts.pkl"
+            if f.exists():
+                import pickle
+                with open(f, "rb") as fh:
+                    train_ref = pickle.load(fh)
+        if train_ref is not None:
+            ref_flags = np.asarray(train_ref["reos_flag_arr"])
+            ref_names = list(train_ref["reos_flag_header"])
+            ref_rates = dict(zip(ref_names, ref_flags.mean(0)))
+            model_rates = dict(zip(reos.flag_arr_header, flags.mean(0)))
+            common = [n for n in reos.flag_arr_header if n in ref_rates]
+            out["reos_cum_dev"] = float(sum(
+                abs(model_rates[n] - ref_rates[n]) for n in common))
+        return out
 
     # ------------------------------------------------------------ posebusters
     def run_posebusters(self, molecules, pb_energy: bool = False) -> Dict:
