@@ -1,0 +1,58 @@
+"""Public API tests: bucketed sampling and trajectory frame extraction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowmol_tpu.analysis.molecule_builder import trajectory_xyz_frames
+from flowmol_tpu.api import bucketed_sample
+from flowmol_tpu.model import FlowMol
+from tests.helpers import tiny_config
+
+
+def test_bucketed_sample_groups_and_counts():
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sizes = np.array([5, 7, 12, 14, 30, 31])
+    results = bucketed_sample(model, params, sizes, seed=0, n_timesteps=4,
+                              buckets=(8, 16, 32), max_batch_size=128)
+    pads = sorted(nm.shape[1] for _, nm, _ in results)
+    assert pads == [8, 16, 32]
+    total = sum(nm.shape[0] for _, nm, _ in results)
+    assert total == len(sizes)
+    for final, nm, traj in results:
+        assert traj is None
+        assert final["x"].shape[:2] == nm.shape
+
+
+def test_bucketed_sample_respects_max_batch_size():
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sizes = np.full(7, 6)
+    results = bucketed_sample(model, params, sizes, seed=0, n_timesteps=3,
+                              buckets=(8,), max_batch_size=3)
+    assert [nm.shape[0] for _, nm, _ in results] == [3, 3, 1]
+
+
+def test_trajectory_frames():
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sizes = np.array([6, 5])
+    results = bucketed_sample(model, params, sizes, seed=0, n_timesteps=5,
+                              buckets=(8,), visualize=True)
+    final, nm, traj = results[0]
+    assert traj is not None
+    frames = trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map,
+                                   ctmc_mol=True)
+    assert len(frames) == 4  # n_timesteps - 1 scan steps
+    first = frames[0].splitlines()
+    assert first[0] == "6"           # atom count of molecule 0
+    assert len(first) == 2 + 6       # header + atoms
+    # endpoint trajectory too
+    ep = trajectory_xyz_frames(traj, 1, nm, cfg.atom_type_map, endpoint=True,
+                               ctmc_mol=True)
+    assert ep[0].splitlines()[0] == "5"
