@@ -60,9 +60,10 @@ class SampledMolecule:
         charge_tokens = np.asarray(charge_tokens, np.int64)
         bonds = np.asarray(bonds, np.int64)
 
-        # strip fake atoms (molecule_builder.py:227-231)
+        # strip fake atoms (molecule_builder.py:227-231); the fake class sits
+        # right after the real elements: [real..., 'Sn'(fake), 'Se'(mask)]
         if fake_atoms:
-            fake_idx = len(atom_type_map) - 2
+            fake_idx = len(atom_type_map) - 1 - (1 if ctmc_mol else 0)
             keep = atom_tokens != fake_idx
             positions = positions[keep]
             atom_tokens = atom_tokens[keep]
@@ -237,8 +238,14 @@ def trajectory_xyz_frames(traj: Dict[str, np.ndarray], mol_idx: int,
     n = int(np.asarray(node_mask)[mol_idx].sum())
     key_x = "x_pred" if endpoint else "x"
     key_a = "a_pred" if endpoint else "a"
+    if key_x not in traj:
+        raise KeyError(
+            f"trajectory has no '{key_x}' frames (endpoint trajectories are "
+            "recorded for the CTMC sampler only)")
     xs = np.asarray(traj[key_x])[:, mol_idx, :n]
     ats = np.asarray(traj[key_a])[:, mol_idx, :n]
+    if ats.ndim == 3:  # continuous simplex states -> tokens
+        ats = ats.argmax(-1)
     x_final = xs[-1]
     frames = []
     for t in range(xs.shape[0]):

@@ -1,8 +1,12 @@
 """REOS structural-alert flags (Glaxo/Dundee SMARTS rule sets).
 
-Parity: /root/reference/flowmol/analysis/reos.py — a thin wrapper around
-useful_rdkit_utils.REOS producing a per-molecule flag matrix with a sorted
-canonical header.  Gated on useful_rdkit_utils/rdkit availability.
+Parity: /root/reference/flowmol/analysis/reos.py — a per-molecule x per-rule
+flag matrix with a sorted canonical header of "<rule_set>::<description>"
+names.  Every violated rule is flagged (not just the first match), matching
+the reference's `mols_to_flag_arr`, so flag_rate = mean flags per molecule
+can exceed 1.
+
+Gated on useful_rdkit_utils (rule tables) + rdkit (SMARTS matching).
 """
 
 from __future__ import annotations
@@ -13,19 +17,34 @@ import numpy as np
 class REOS:
     def __init__(self, active_rules=("Glaxo", "Dundee")):
         import useful_rdkit_utils as uru  # gated import
-        self.reos = uru.REOS(active_rules=list(active_rules))
-        df = self.reos.get_rule_df()
-        names = sorted(df["description"].tolist())
-        self.flag_arr_header = names
-        self.smarts_arr = df["smarts"].tolist()
-        self._name_to_col = {n: i for i, n in enumerate(names)}
+        from rdkit import Chem
+
+        self._chem = Chem
+        reos = uru.REOS(active_rules=list(active_rules))
+        df = reos.get_rule_df()
+        # canonical header: sorted "<rule_set>::<description>"
+        rows = []
+        for _, r in df.iterrows():
+            name = f"{r['rule_set_name']}::{r['description']}"
+            patt = Chem.MolFromSmarts(r["smarts"])
+            if patt is None:
+                continue
+            rows.append((name, r["smarts"], patt,
+                         int(r.get("max", 0))))
+        rows.sort(key=lambda x: x[0])
+        self.flag_arr_header = [r[0] for r in rows]
+        self.smarts_arr = [r[1] for r in rows]
+        self._patterns = [(r[2], r[3]) for r in rows]
 
     def mols_to_flag_arr(self, mols) -> np.ndarray:
-        out = np.zeros((len(mols), len(self.flag_arr_header)), np.int64)
+        """(n_mols, n_rules) 0/1 matrix: 1 where the molecule exceeds the
+        rule's allowed substructure count."""
+        out = np.zeros((len(mols), len(self._patterns)), np.int64)
         for i, mol in enumerate(mols):
-            rule_set, desc = self.reos.process_mol(mol)
-            if rule_set != "ok" and desc in self._name_to_col:
-                out[i, self._name_to_col[desc]] = 1
+            for j, (patt, max_allowed) in enumerate(self._patterns):
+                n = len(mol.GetSubstructMatches(patt, maxMatches=max_allowed + 1))
+                if n > max_allowed:
+                    out[i, j] = 1
         return out
 
 

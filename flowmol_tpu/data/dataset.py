@@ -212,7 +212,6 @@ class BucketBatcher:
                  fake_atom_headroom: float = 0.0, divisible_by: int = 1):
         # fake atoms enlarge molecules by up to ceil(n * p); reserve headroom
         eff = np.ceil(n_atoms_per_mol * (1.0 + fake_atom_headroom)).astype(int)
-        self.buckets = [b for b in buckets if b >= int(eff.min())]
         if int(eff.max()) > max(buckets):
             raise ValueError(
                 f"molecule with {int(eff.max())} atoms exceeds largest bucket")

@@ -141,12 +141,21 @@ class Trainer:
         # callback swaps them in for validation, utils/ema.py)
         val_params = (self.state.ema if self.state.ema is not None
                       else self.state.params)
+        # Lightning semantics (train.py:134-158): limit >= 1 is a batch
+        # count, limit < 1 is a fraction of the val split
+        max_batches = None
+        if limit is not None:
+            if limit >= 1:
+                max_batches = int(limit)
+            else:
+                n_val = self.data.batcher("val").n_batches_per_epoch()
+                max_batches = max(1, int(limit * n_val))
         for tb in self.data.iter_split("val", np_rng):
             m = self.eval_step(val_params, self._shard(tb), rng)
             for k, v in m.items():
                 agg.setdefault(k, []).append(float(v))
             batcher_count += 1
-            if limit is not None and limit >= 1 and batcher_count >= limit:
+            if max_batches is not None and batcher_count >= max_batches:
                 break
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
@@ -203,11 +212,12 @@ class Trainer:
                 if self.max_steps and self.global_step >= self.max_steps:
                     break
 
-            if self.is_primary:  # replicated state: rank 0 persists
-                self.ckpt.save(self.global_step, self.state,
-                               extra={"epoch": epoch + 1,
-                                      "global_step": self.global_step},
-                               metrics=self._last_val_metrics)
+            # orbax save is collective over processes for multi-host
+            # arrays (the manager coordinates; the primary writes)
+            self.ckpt.save(self.global_step, self.state,
+                           extra={"epoch": epoch + 1,
+                                  "global_step": self.global_step},
+                           metrics=self._last_val_metrics)
             if self.max_steps and self.global_step >= self.max_steps:
                 break
         return self.state
