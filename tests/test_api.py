@@ -56,3 +56,29 @@ def test_trajectory_frames():
     ep = trajectory_xyz_frames(traj, 1, nm, cfg.atom_type_map, endpoint=True,
                                ctmc_mol=True)
     assert ep[0].splitlines()[0] == "5"
+
+
+def test_trajectory_frames_continuous():
+    """Non-CTMC trajectories carry simplex states; frames must still render
+    (regression: argmax for ndim==3 token arrays) and endpoint frames raise
+    a clear error."""
+    import dataclasses
+
+    cfg = tiny_config(parameterization="endpoint")
+    cfg = dataclasses.replace(cfg, prior_config={
+        "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
+        "a": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+        "c": {"align": False, "type": "barycenter", "kwargs": {}},
+        "e": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+    })
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    results = bucketed_sample(model, params, np.array([6, 5]), seed=0,
+                              n_timesteps=5, buckets=(8,), visualize=True)
+    final, nm, traj = results[0]
+    frames = trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map,
+                                   ctmc_mol=False)
+    assert len(frames) == 4 and frames[0].splitlines()[0] == "6"
+    with pytest.raises(KeyError):
+        trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map, endpoint=True,
+                              ctmc_mol=False)
