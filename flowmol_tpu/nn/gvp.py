@@ -373,11 +373,9 @@ class GVPConv(nn.Module):
                 n_cp_feats=self.n_cp_feats, dims=tuple(dims),
                 message_norm=self.message_norm)
             wmsg = init_weights(self, spec, torch_uniform)
-            # N >= 64: at smaller sizes the tile grid is too shallow and the
-            # kernel loses to XLA (measured on v5e)
             use_pallas = (self.use_pallas and deterministic
                           and spec.message_norm != "mean"
-                          and s.shape[1] % 32 == 0 and s.shape[1] >= 64)
+                          and s.shape[1] % 8 == 0)
             if use_pallas:
                 from flowmol_tpu.ops.pallas_messages import pallas_message_agg
                 agg_s, agg_v = pallas_message_agg(

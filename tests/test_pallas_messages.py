@@ -67,7 +67,7 @@ def test_pallas_matches_xla(ncp, dst, monkeypatch):
     monkeypatch.setattr(pallas_messages.pl, "pallas_call", interp_call)
     out_s, out_v = pallas_messages.pallas_message_agg(
         w, spec, sc, s_dst, vc, v_dst, x, ef, node_mask,
-        dtype=jnp.float32, bi=8, bj=32)
+        dtype=jnp.float32, bi=8)
 
     np.testing.assert_allclose(np.asarray(ref_s), np.asarray(out_s),
                                atol=5e-4, rtol=1e-3)
