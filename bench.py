@@ -23,17 +23,11 @@ ASSUMED_A100_REFERENCE_MOLS_PER_SEC = 1.0
 
 
 def main():
-    import os
-
     import jax
 
-    # persistent XLA compilation cache: the fine-grained size buckets mean
-    # ~10 compiled programs; cache them across bench invocations
-    cache_dir = os.path.expanduser("~/.cache/jax_flowmol")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+    # (persistent XLA compilation cache is configured at package import —
+    # flowmol_tpu/__init__.py — so the ~10 per-bucket programs compile once
+    # across bench invocations)
     import jax.numpy as jnp
     import numpy as np
 

@@ -94,8 +94,79 @@ def generate_molecule(rng: np.random.Generator, n: int, n_atom_types: int,
             if i != j and (min(i, j), max(i, j)) not in set(bonds):
                 add_bond(int(i), int(j), 1)
 
-    # hydrogens fill leftover valence; stop when the skeleton is saturated
-    for _ in range(n - n_heavy):
+    # ---- exact saturation ---------------------------------------------------
+    # Reconcile the skeleton's total open valence with the hydrogen budget so
+    # that EVERY atom ends exactly saturated (the reference datasets have no
+    # under-saturated heavy atoms; leaving them makes the data fail the MiDi
+    # stability tables the analyzer falls back to).
+    target_h = (n - n_heavy) if h_tok >= 0 else 0
+    if h_tok >= 0:
+        order_cap = min(3, n_bond_types - 1)
+        bond_pos = {b: k for k, b in enumerate(bonds)}
+        # element ladder for +/-1 valence relabels (only within atom_map)
+        tok_of = {s: atom_map.index(s) for s in atom_map}
+
+        def relabel(j, new_tok):
+            used = int(max_val[a[j]]) - remaining[j]
+            a[j] = new_tok
+            remaining[j] = int(max_val[new_tok]) - used
+
+        # too little open valence for the H budget: promote atoms toward C
+        for j in range(n_heavy):
+            if sum(remaining) >= target_h:
+                break
+            if atom_map[a[j]] in ("N", "O", "F") and "C" in tok_of:
+                relabel(j, tok_of["C"])
+
+        # too much open valence: consume 2 at a time via bond upgrades or ring
+        # closures; fix parity (and dead ends) with -1 element relabels
+        guard = 0
+        while sum(remaining) > target_h and guard < 8 * n:
+            guard += 1
+            excess = sum(remaining) - target_h
+            did = False
+            if excess >= 2:
+                up = [k for k, (i, j) in enumerate(bonds)
+                      if bond_types[k] < order_cap and remaining[i] >= 1
+                      and remaining[j] >= 1]
+                cand = [j for j in range(n_heavy) if remaining[j] >= 1]
+                pairs = [(i, j) for ii, i in enumerate(cand)
+                         for j in cand[ii + 1:]
+                         if (min(i, j), max(i, j)) not in bond_pos]
+                moves = (["up"] if up else []) + (["ring"] if pairs else [])
+                if moves:
+                    mv = moves[int(rng.integers(len(moves)))]
+                    if mv == "up":
+                        k = int(rng.choice(up))
+                        i, j = bonds[k]
+                        bond_types[k] += 1
+                        remaining[i] -= 1
+                        remaining[j] -= 1
+                    else:
+                        i, j = pairs[int(rng.integers(len(pairs)))]
+                        add_bond(int(i), int(j), 1)
+                        bond_pos[bonds[-1]] = len(bonds) - 1
+                    did = True
+            if not did:
+                # -1 relabel: C->N, N->O, O->F (whichever is available)
+                done = False
+                for j in range(n_heavy):
+                    if remaining[j] < 1:
+                        continue
+                    sym = atom_map[a[j]]
+                    for frm, to in (("C", "N"), ("N", "O"), ("O", "F")):
+                        if sym == frm and to in tok_of:
+                            relabel(j, tok_of[to])
+                            done = True
+                            break
+                    if done:
+                        break
+                if not done:
+                    target_h = sum(remaining)  # rare: shrink the molecule
+        target_h = min(target_h, sum(remaining))
+
+    # hydrogens fill ALL leftover valence (exact saturation)
+    for _ in range(target_h):
         cand = [j for j in range(n_heavy) if remaining[j] >= 1]
         if not cand:
             break
@@ -190,4 +261,24 @@ def generate_dataset(out_dir, n_molecules: int = 1000, seed: int = 0,
         sizes_split = np.array([x.shape[0] for x, *_ in ms])
         NAtomsDistribution.from_sizes(sizes_split).save(
             out / f"{split}_data_n_atoms_histogram.npz")
+
+        # observed (element, charge) -> valency table, the same artifact the
+        # real pipelines emit (process_qm9.py valencies json); SampleAnalyzer
+        # prefers it over the legacy MiDi table
+        table: dict = {}
+        for x, a, c, bonds, bond_types in ms:
+            val = np.zeros(x.shape[0])
+            for (i, j), t in zip(bonds, bond_types):
+                o = 1.5 if int(t) == 4 else float(t)
+                val[i] += o
+                val[j] += o
+            for k in range(x.shape[0]):
+                sym = atom_map[int(a[k])]
+                ch = str(int(c[k]))
+                vs = table.setdefault(sym, {}).setdefault(ch, set())
+                vs.add(int(val[k]) if val[k] == int(val[k]) else float(val[k]))
+        import json
+        with open(out / f"{split}_data_valencies_kekulized.json", "w") as f:
+            json.dump({s: {ch: sorted(v) for ch, v in chs.items()}
+                       for s, chs in table.items()}, f, indent=1)
     return out

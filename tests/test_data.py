@@ -37,6 +37,37 @@ def test_generate_and_load(synth_dir):
     np.testing.assert_allclose(mol["x"].mean(0), 0.0, atol=1e-4)
 
 
+def test_generated_molecules_fully_saturated():
+    """Every generated atom must be exactly saturated (valence == element
+    max, neutral) so the data passes the MiDi stability tables the analyzer
+    falls back to — under-saturated heavy atoms made even the training data
+    score ~0.3 frac_valid."""
+    from flowmol_tpu.data.synthetic import _DEFAULT_VALENCES, generate_molecule
+
+    rng = np.random.default_rng(3)
+    amap = ["C", "H", "N", "O", "F"]
+    for _ in range(100):
+        n = int(rng.integers(6, 30))
+        x, a, c, bonds, bts = generate_molecule(rng, n, 5)
+        assert len(a) == n
+        val = np.zeros(n)
+        for (i, j), t in zip(bonds, bts):
+            val[i] += t
+            val[j] += t
+        expect = np.array([_DEFAULT_VALENCES[amap[t]] for t in a])
+        np.testing.assert_array_equal(val, expect)
+        assert (c == 0).all()
+
+
+def test_generated_dataset_emits_valency_tables(synth_dir):
+    import json
+
+    with open(synth_dir / "train_data_valencies_kekulized.json") as f:
+        table = json.load(f)
+    assert table["C"]["0"] == [4]
+    assert table["H"]["0"] == [1]
+
+
 def test_rigid_align_recovers_rotation():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((10, 3)).astype(np.float32)
