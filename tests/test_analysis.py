@@ -1,0 +1,165 @@
+"""Analysis-layer tests: SampledMolecule structure, stability tables
+(dataset-derived + MiDi fallback), the analyzer metric suite, and JS
+divergence.  The reference has no tests for this layer (SURVEY.md §4); these
+anchor the structural fallback paths that run in RDKit-less environments.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from flowmol_tpu.analysis.metrics import (MIDI_VALENCE_TABLE,
+                                          DivergenceCalculator, SampleAnalyzer,
+                                          check_stability, check_stability_midi)
+from flowmol_tpu.analysis.molecule_builder import (SampledMolecule,
+                                                   molecules_from_sampled_state)
+
+ATOM_MAP = ["C", "H", "N", "O", "F"]
+
+
+def methane():
+    """CH4: C at origin, 4 H, all single bonds."""
+    n = 5
+    pos = np.random.default_rng(0).normal(size=(n, 3))
+    a = np.array([0, 1, 1, 1, 1])
+    c = np.full(n, 2)  # charge tokens (charge 0)
+    bonds = np.zeros((n, n), np.int64)
+    for h in range(1, 5):
+        bonds[0, h] = bonds[h, 0] = 1
+    return pos, a, c, bonds
+
+
+def methyl_radical():
+    """CH3 with an under-saturated carbon (valence 3 -> MiDi-stable for C
+    but not in the synthetic dataset table)."""
+    n = 4
+    pos = np.zeros((n, 3))
+    a = np.array([0, 1, 1, 1])
+    c = np.full(n, 2)
+    bonds = np.zeros((n, n), np.int64)
+    for h in range(1, 4):
+        bonds[0, h] = bonds[h, 0] = 1
+    return pos, a, c, bonds
+
+
+def test_sampled_molecule_structure():
+    pos, a, c, bonds, = methane()
+    mol = SampledMolecule(pos, a, c, bonds, ATOM_MAP)
+    assert mol.num_atoms == 5
+    assert mol.atom_types == ["C", "H", "H", "H", "H"]
+    np.testing.assert_array_equal(mol.valencies, [4, 1, 1, 1, 1])
+    np.testing.assert_array_equal(mol.atom_charges, 0)
+    assert mol.num_components == 1
+    assert mol.largest_frag_frac == 1.0
+    assert len(mol.bond_types) == 4
+
+
+def test_disconnected_components():
+    pos, a, c, bonds = methane()
+    bonds[0, 4] = bonds[4, 0] = 0  # detach one H
+    mol = SampledMolecule(pos, a, c, bonds, ATOM_MAP)
+    assert mol.num_components == 2
+    assert mol.largest_frag_frac == pytest.approx(4 / 5)
+
+
+def test_fake_atom_stripping():
+    pos, a, c, bonds = methane()
+    # fake atom class = len(map + Sn + Se) - 2 = 5 for ctmc
+    a = np.append(a, 5)
+    c = np.append(c, 2)
+    pos = np.vstack([pos, np.zeros(3)])
+    b2 = np.zeros((6, 6), np.int64)
+    b2[:5, :5] = bonds
+    mol = SampledMolecule(pos, a, c, b2, ATOM_MAP, ctmc_mol=True,
+                          fake_atoms=True)
+    assert mol.num_atoms == 5
+    assert "Sn" not in mol.atom_types
+
+
+def test_mask_bond_treated_as_none():
+    pos, a, c, bonds = methane()
+    bonds[1, 2] = bonds[2, 1] = 4  # mask token (kekulized: 4 = mask)
+    mol = SampledMolecule(pos, a, c, bonds, ATOM_MAP)
+    np.testing.assert_array_equal(mol.valencies, [4, 1, 1, 1, 1])
+
+
+def test_check_stability_midi():
+    pos, a, c, bonds = methane()
+    mol = SampledMolecule(pos, a, c, bonds, ATOM_MAP)
+    ns, stable, _ = check_stability_midi(mol)
+    assert (ns, stable) == (5, True)
+
+    # C with valence 3 is allowed by MiDi (C: [3,4]) — radical-tolerant
+    mol3 = SampledMolecule(*methyl_radical(), ATOM_MAP)
+    _, stable3, _ = check_stability_midi(mol3)
+    assert stable3
+
+    # O with valence 3, neutral -> unstable
+    pos = np.zeros((2, 3))
+    watery = SampledMolecule(pos, np.array([3, 0]), np.full(2, 2),
+                             np.array([[0, 3], [3, 0]]), ATOM_MAP)
+    _, stable_o, _ = check_stability_midi(watery)
+    assert not stable_o
+
+
+def test_check_stability_dataset_table():
+    table = {"C": {0: [4]}, "H": {0: [1]}}
+    mol = SampledMolecule(*methane(), ATOM_MAP)
+    ns, stable, _ = check_stability(mol, table)
+    assert (ns, stable) == (5, True)
+    mol3 = SampledMolecule(*methyl_radical(), ATOM_MAP)
+    ns3, stable3, _ = check_stability(mol3, table)
+    assert not stable3 and ns3 == 3  # the three H are fine
+
+
+def test_analyzer_prefers_dataset_valency_table(tmp_path):
+    with open(tmp_path / "train_data_valencies_kekulized.json", "w") as f:
+        json.dump({"C": {"0": [4]}, "H": {"0": [1]}}, f)
+    an = SampleAnalyzer(processed_data_dir=tmp_path)
+    assert an.valency_table == {"C": {0: [4]}, "H": {0: [1]}}
+    mols = [SampledMolecule(*methane(), ATOM_MAP),
+            SampledMolecule(*methyl_radical(), ATOM_MAP)]
+    m = an.analyze(mols)
+    assert m["frac_mols_stable_valence"] == 0.5
+    # structural-fallback validity: connected + stable
+    assert m["frac_valid_mols"] == 0.5
+    assert m["frac_connected"] == 1.0
+
+    # without the json it falls back to MiDi, where CH3 counts stable
+    an_midi = SampleAnalyzer()
+    assert an_midi.valency_table is None
+    m2 = an_midi.analyze(mols)
+    assert m2["frac_mols_stable_valence"] == 1.0
+
+
+def test_molecules_from_sampled_state_padded():
+    B, n_pad = 2, 6
+    nm = np.array([[1, 1, 1, 1, 1, 0], [1, 1, 0, 0, 0, 0]], bool)
+    x = np.zeros((B, n_pad, 3))
+    a = np.zeros((B, n_pad), np.int64)
+    a[0, :5] = [0, 1, 1, 1, 1]
+    a[1, :2] = [4, 1]  # F-H
+    c = np.full((B, n_pad), 2, np.int64)
+    iu, ju = np.triu_indices(n_pad, 1)
+    e_up = np.zeros((B, iu.size), np.int64)
+    for k, (i, j) in enumerate(zip(iu, ju)):
+        if i == 0 and j in (1, 2, 3, 4):
+            e_up[0, k] = 1
+        if (i, j) == (0, 1):
+            e_up[1, k] = 1
+    mols = molecules_from_sampled_state({"x": x, "a": a, "c": c, "e_up": e_up},
+                                        nm, ATOM_MAP)
+    assert [m.num_atoms for m in mols] == [5, 2]
+    assert mols[0].atom_types[0] == "C"
+    np.testing.assert_array_equal(mols[0].valencies, [4, 1, 1, 1, 1])
+    np.testing.assert_array_equal(mols[1].valencies, [1, 1])
+
+
+def test_js_divergence_zero_for_identical(tmp_path):
+    energies = list(np.random.default_rng(0).normal(10, 2, size=500))
+    DivergenceCalculator.save_reference_dist(energies, tmp_path / "e.npz")
+    div = DivergenceCalculator(tmp_path / "e.npz")
+    assert div.js_divergence(energies) == pytest.approx(0.0, abs=1e-12)
+    shifted = [e + 5 for e in energies]
+    assert div.js_divergence(shifted) > 0.1
