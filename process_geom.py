@@ -50,7 +50,12 @@ def flatten_conformers(raw, confs_per_mol=None):
 
 
 def main():
-    from rdkit import Chem  # gated: required for data processing
+    args = parse_args()
+    try:
+        from rdkit import Chem  # gated: required for data processing
+    except ImportError as e:
+        raise SystemExit(
+            f"process_geom.py requires rdkit (pip install rdkit): {e}")
 
     from flowmol_tpu.api import read_config_file
     from flowmol_tpu.data.dataset import save_packed
@@ -59,8 +64,6 @@ def main():
                                              pack_molecules)
     from flowmol_tpu.data.stats import (MarginalDists, NAtomsDistribution,
                                         compute_marginals)
-
-    args = parse_args()
     config = read_config_file(args.config)
     ds_cfg = config["dataset"]
     atom_map = ds_cfg["atom_map"]

@@ -91,12 +91,16 @@ def process_split(mols, smiles, split_name, out_dir, atom_map,
 
 
 def main():
-    import pandas as pd
-    from rdkit import Chem
+    args = parse_args()
+    try:
+        import pandas as pd
+        from rdkit import Chem
+    except ImportError as e:
+        raise SystemExit(f"process_qm9.py requires pandas + rdkit "
+                         f"(pip install rdkit pandas): {e}")
 
     from flowmol_tpu.api import read_config_file
 
-    args = parse_args()
     config = read_config_file(args.config)
     ds_cfg = config["dataset"]
     raw_dir = Path(ds_cfg["raw_data_dir"])
