@@ -1,0 +1,84 @@
+"""End-to-end learning anchor: a tiny CTMC model trained on a handful of
+saturated synthetic molecules must markedly improve sampled chemistry over an
+untrained model.
+
+This is the regression class no unit test catches: every component can be
+individually correct while a train/sample mismatch (loss targets, conditional
+path, integration) silently caps sample quality.  The reference has no such
+test (SURVEY.md §4); its equivalent was eyeballing in-training wandb curves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowmol_tpu.analysis.metrics import SampleAnalyzer
+from flowmol_tpu.analysis.molecule_builder import molecules_from_sampled_state
+from flowmol_tpu.data.dataset import DataConfig, pad_batch, prepare_molecule
+from flowmol_tpu.data.synthetic import generate_molecule
+from flowmol_tpu.model import FlowMol
+from flowmol_tpu.train_utils.optim import LRScheduleConfig
+from flowmol_tpu.train_utils.step import create_train_state, make_train_step
+
+from .helpers import tiny_config
+
+CTMC_PRIOR = {
+    "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
+    "a": {"align": False, "type": "ctmc", "kwargs": {}},
+    "c": {"align": False, "type": "ctmc", "kwargs": {}},
+    "e": {"align": False, "type": "ctmc", "kwargs": {}},
+}
+
+N_PAD = 12
+
+
+def _sample_metrics(model, params, sizes, seed=99):
+    fn = jax.jit(model.make_sample_fn(n_timesteps=50))
+    nm = np.arange(N_PAD)[None, :] < sizes[:, None]
+    out = jax.tree.map(np.asarray,
+                       fn(params, jax.random.PRNGKey(seed), jnp.asarray(nm)))
+    mols = molecules_from_sampled_state(out, nm, model.cfg.atom_type_map,
+                                        ctmc_mol=True)
+    return SampleAnalyzer().analyze(mols)
+
+
+@pytest.mark.slow
+def test_ctmc_training_improves_sampled_chemistry():
+    cfg = tiny_config()
+    model = FlowMol(cfg)
+    dc = DataConfig(prior_config=CTMC_PRIOR, n_atom_types=cfg.n_atom_types,
+                    n_bond_types=cfg.n_bond_types, fake_atom_p=0.0,
+                    is_ctmc=True)
+    rng = np.random.default_rng(0)
+    mols = []
+    for _ in range(8):
+        x, a, c, bonds, _bts = generate_molecule(
+            rng, int(rng.integers(6, N_PAD + 1)), 5)
+        adj = np.zeros((len(a), len(a)), np.int32)
+        adj[bonds[:, 0], bonds[:, 1]] = _bts
+        mols.append({"x": x, "a": a, "c": c, "adj": np.maximum(adj, adj.T)})
+    sizes = np.array([len(m["a"]) for m in mols] * 4)
+
+    lr_cfg = LRScheduleConfig(base_lr=2e-3)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), lr_cfg, 0.0)
+    step = jax.jit(make_train_step(model, tx, lr_cfg, 0.0))
+
+    m0 = _sample_metrics(model, state.params, sizes)
+    assert m0["frac_atoms_stable"] < 0.3  # untrained: bonded soup
+
+    first_loss = None
+    for i in range(600):
+        batch = pad_batch([prepare_molecule(rng, m, dc) for m in mols], N_PAD)
+        batch = jax.tree.map(jnp.asarray, batch)
+        state, metrics = step(state, batch, jax.random.PRNGKey(i),
+                              jnp.asarray(i / 100.0))
+        if first_loss is None:
+            first_loss = float(metrics["total_train_loss"])
+    last_loss = float(metrics["total_train_loss"])
+    assert last_loss < 0.75 * first_loss
+
+    m1 = _sample_metrics(model, state.params, sizes)
+    # 600 tiny-model steps cannot reach full validity, but chemistry must
+    # move decisively toward the data (untrained stability is ~0.0)
+    assert m1["frac_atoms_stable"] > m0["frac_atoms_stable"] + 0.4
