@@ -110,7 +110,7 @@ class Trainer:
     # ----------------------------------------------------------- in-loop eval
     def sample_and_analyze(self, rng_seed: int) -> Dict[str, float]:
         """In-training molecule sampling eval (flowmol.py:241-253)."""
-        if self.n_atoms_dist is None or not self.model.cfg.is_ctmc:
+        if self.n_atoms_dist is None:
             return {}
         from flowmol_tpu.api import SAMPLING_BUCKETS
         rng = np.random.default_rng(rng_seed)
@@ -127,7 +127,8 @@ class Trainer:
                                         jnp.asarray(node_mask))
         final = jax.tree.map(np.asarray, final)
         mols = molecules_from_sampled_state(
-            final, node_mask, self.atom_type_map, ctmc_mol=True,
+            final, node_mask, self.atom_type_map,
+            ctmc_mol=self.model.cfg.is_ctmc,
             fake_atoms=self.model.cfg.fake_atom_p > 0,
             explicit_aromaticity=self.model.cfg.explicit_aromaticity)
         return self.analyzer.analyze(mols)
