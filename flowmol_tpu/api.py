@@ -112,17 +112,25 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
                     n_timesteps: Optional[int] = None,
                     max_batch_size: int = 128,
                     buckets=SAMPLING_BUCKETS, visualize: bool = False,
-                    sample_fn_cache: Optional[dict] = None, **knobs):
+                    sample_fn_cache: Optional[dict] = None, mesh=None,
+                    **knobs):
     """Sample molecules of the given sizes, bucketed by padded size.
 
     Pads each molecule to its size bucket instead of the global max — the
     O(N^2) pairwise compute makes padding waste quadratic.  Returns a list of
     (final_state_np, node_mask_np, traj_or_None) per dispatched batch, in
     bucket order with molecule order preserved within a bucket.
+
+    With `mesh` (a 1-D `jax.sharding.Mesh`), each dispatched batch is sharded
+    over the mesh's data axis (batch rows padded to the device count with
+    all-masked molecules, trimmed from the returned node_mask).
     """
     import jax
     import jax.numpy as jnp
 
+    from flowmol_tpu.parallel import mesh as pmesh
+
+    n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     fns = sample_fn_cache if sample_fn_cache is not None else {}
     groups: Dict[int, list] = {}
     for s in np.asarray(sizes):
@@ -134,19 +142,28 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
     for n_pad, szs in sorted(groups.items()):
         for i in range(0, len(szs), max_batch_size):
             part = np.asarray(szs[i:i + max_batch_size])
+            n_real = len(part)
+            if n_real % n_dev:  # pad rows so the batch shards evenly
+                part = np.concatenate(
+                    [part, np.zeros(n_dev - n_real % n_dev, part.dtype)])
             node_mask = np.arange(n_pad)[None, :] < part[:, None]
             key = (len(part), n_pad)
             if key not in fns:
-                fns[key] = jax.jit(model.make_sample_fn(
-                    n_timesteps=n_timesteps, visualize=visualize, **knobs))
-            out = fns[key](params, jax.random.PRNGKey(seed + chunk),
-                           jnp.asarray(node_mask))
+                fn = model.make_sample_fn(n_timesteps=n_timesteps,
+                                          visualize=visualize, **knobs)
+                fns[key] = (pmesh.jit_sample_fn(fn, mesh) if mesh is not None
+                            else jax.jit(fn))
+            nm_dev = jnp.asarray(node_mask)
+            if mesh is not None:
+                nm_dev = jax.device_put(nm_dev, pmesh.batch_sharding(mesh))
+            out = fns[key](params, jax.random.PRNGKey(seed + chunk), nm_dev)
             if visualize:
                 final, traj = out
-                traj = jax.tree.map(np.asarray, traj)
+                traj = jax.tree.map(lambda a: np.asarray(a)[:, :n_real], traj)
             else:
                 final, traj = out, None
-            results.append((jax.tree.map(np.asarray, final), node_mask, traj))
+            final = jax.tree.map(lambda a: np.asarray(a)[:n_real], final)
+            results.append((final, node_mask[:n_real], traj))
             chunk += 1
     return results
 

@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--profile", type=Path, default=None,
                    help="capture a jax.profiler trace of sampling")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard each sampling batch over the first N devices "
+                        "(data-parallel mesh)")
     return p.parse_args()
 
 
@@ -93,9 +96,13 @@ def main():
     if args.profile:
         jax.profiler.start_trace(str(args.profile))
     t0 = time.time()
+    mesh = None
+    if args.devices > 1:
+        from flowmol_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.devices)
     batches = bucketed_sample(
         model, params, sizes, seed=args.seed, n_timesteps=args.n_timesteps,
-        max_batch_size=args.max_batch_size, visualize=visualize,
+        max_batch_size=args.max_batch_size, visualize=visualize, mesh=mesh,
         stochasticity=args.stochasticity,
         high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type)
     mol_counter = 0

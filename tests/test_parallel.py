@@ -57,6 +57,40 @@ def test_sharded_sampling():
     assert np.isfinite(np.asarray(final["x"])).all()
 
 
+def test_bucketed_sample_mesh_matches_unsharded():
+    """bucketed_sample(mesh=...) shards each dispatched batch over the data
+    axis (rows padded to the device count) and must return bit-identical
+    states to the unsharded path."""
+    from flowmol_tpu.api import bucketed_sample
+
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = pmesh.make_mesh(8)
+
+    # equal shapes (8 rows = device count): results must match exactly
+    sizes = np.array([5, 6, 7, 8, 6, 5, 7, 8])
+    ref = bucketed_sample(model, params, sizes, seed=3, n_timesteps=6,
+                          buckets=(8,))
+    shd = bucketed_sample(model, params, sizes, seed=3, n_timesteps=6,
+                          buckets=(8,), mesh=mesh)
+    assert len(ref) == len(shd) == 1
+    f_ref, nm_ref, _ = ref[0]
+    f_shd, nm_shd, _ = shd[0]
+    np.testing.assert_array_equal(nm_ref, nm_shd)
+    for k in f_ref:
+        np.testing.assert_allclose(np.asarray(f_ref[k]),
+                                   np.asarray(f_shd[k]), atol=1e-5)
+
+    # ragged rows (7) -> padded to the device count, trimmed on return
+    shd7 = bucketed_sample(model, params, sizes[:7], seed=3, n_timesteps=6,
+                           buckets=(8,), mesh=mesh)
+    f7, nm7, _ = shd7[0]
+    assert nm7.shape[0] == 7
+    assert f7["x"].shape[0] == 7
+    assert np.isfinite(f7["x"]).all()
+
+
 def test_per_host_slice():
     s0 = pmesh.per_host_slice(100, 0, 4)
     s3 = pmesh.per_host_slice(100, 3, 4)
