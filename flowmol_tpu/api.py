@@ -134,7 +134,9 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
     fns = sample_fn_cache if sample_fn_cache is not None else {}
     groups: Dict[int, list] = {}
     for s in np.asarray(sizes):
-        b = next(x for x in buckets if s <= x)
+        # fall back to a padded ad-hoc bucket above the largest configured one
+        b = next((x for x in buckets if s <= x),
+                 int(np.ceil(s / 8) * 8))
         groups.setdefault(b, []).append(int(s))
 
     results = []
@@ -147,7 +149,7 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
                 part = np.concatenate(
                     [part, np.zeros(n_dev - n_real % n_dev, part.dtype)])
             node_mask = np.arange(n_pad)[None, :] < part[:, None]
-            key = (len(part), n_pad)
+            key = (len(part), n_pad, n_dev)
             if key not in fns:
                 fn = model.make_sample_fn(n_timesteps=n_timesteps,
                                           visualize=visualize, **knobs)

@@ -162,7 +162,9 @@ def generate_molecule(rng: np.random.Generator, n: int, n_atom_types: int,
                     if done:
                         break
                 if not done:
-                    target_h = sum(remaining)  # rare: shrink the molecule
+                    # degenerate atom_map (no -1 relabel available): keep the
+                    # size contract and leave the excess valence open
+                    break
         target_h = min(target_h, sum(remaining))
 
     # hydrogens fill ALL leftover valence (exact saturation)
@@ -264,21 +266,21 @@ def generate_dataset(out_dir, n_molecules: int = 1000, seed: int = 0,
 
         # observed (element, charge) -> valency table, the same artifact the
         # real pipelines emit (process_qm9.py valencies json); SampleAnalyzer
-        # prefers it over the legacy MiDi table
-        table: dict = {}
+        # prefers it over the legacy MiDi table.  Bond token n_bond_types-1
+        # is aromatic (order 1.5) only in 5-class (aromatic) datasets.
+        rows = []
         for x, a, c, bonds, bond_types in ms:
             val = np.zeros(x.shape[0])
             for (i, j), t in zip(bonds, bond_types):
-                o = 1.5 if int(t) == 4 else float(t)
+                o = 1.5 if (n_bond_types == 5 and int(t) == 4) else float(t)
                 val[i] += o
                 val[j] += o
-            for k in range(x.shape[0]):
-                sym = atom_map[int(a[k])]
-                ch = str(int(c[k]))
-                vs = table.setdefault(sym, {}).setdefault(ch, set())
-                vs.add(int(val[k]) if val[k] == int(val[k]) else float(val[k]))
+            rows.extend((int(a[k]), int(c[k]), int(round(val[k])))
+                        for k in range(x.shape[0]))
+        from flowmol_tpu.data.featurizer import build_valency_table
+        table = build_valency_table(np.asarray(rows, np.int64), atom_map)
+        suffix = "aromatic" if n_bond_types == 5 else "kekulized"
         import json
-        with open(out / f"{split}_data_valencies_kekulized.json", "w") as f:
-            json.dump({s: {ch: sorted(v) for ch, v in chs.items()}
-                       for s, chs in table.items()}, f, indent=1)
+        with open(out / f"{split}_data_valencies_{suffix}.json", "w") as f:
+            json.dump(table, f, indent=1)
     return out
