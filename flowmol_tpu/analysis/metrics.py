@@ -256,7 +256,10 @@ class SampleAnalyzer:
         return self.energy_div_calculator.js_divergence(energies)
 
     # ----------------------------------------------------------- REOS / rings
-    def reos_and_rings(self, molecules: List[SampledMolecule]) -> Dict:
+    def reos_and_rings(self, molecules: List[SampledMolecule],
+                       return_raw: bool = False) -> Dict:
+        """REOS flag rate + ring-system OOD (+ raw flag matrix / ring counts
+        with return_raw, parity with metrics.py:258-331 return_raw)."""
         try:
             from flowmol_tpu.analysis.reos import REOS
             from flowmol_tpu.analysis.ring_systems import RingSystemCounter
@@ -302,6 +305,11 @@ class SampleAnalyzer:
             common = [n for n in reos.flag_arr_header if n in ref_rates]
             out["reos_cum_dev"] = float(sum(
                 abs(model_rates[n] - ref_rates[n]) for n in common))
+        if return_raw:
+            out["reos_flag_arr"] = flags
+            out["reos_flag_header"] = list(reos.flag_arr_header)
+            out["ring_sample_counts"] = sample_counts
+            out["ring_chembl_counts"] = chembl_counts
         return out
 
     # ------------------------------------------------------------ posebusters

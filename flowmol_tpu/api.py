@@ -200,8 +200,11 @@ class PretrainedModel:
         return mols
 
 
-def load_run(run_dir) -> PretrainedModel:
-    """Load a run directory (<run>/config.yaml + <run>/checkpoints/)."""
+def load_run(run_dir, step: Optional[int] = None) -> PretrainedModel:
+    """Load a run directory (<run>/config.yaml + <run>/checkpoints/).
+
+    `step` selects a specific checkpoint (parity with the reference's
+    test.py --checkpoint, which takes a .ckpt path); default latest."""
     import jax
 
     from flowmol_tpu.train_utils.step import create_train_state
@@ -214,7 +217,7 @@ def load_run(run_dir) -> PretrainedModel:
                                       lr_config_from_config(config), ema_decay)
     extra_tpl = {"epoch": 0, "global_step": 0}
     ckpt = CheckpointManager(run_dir)
-    restored = ckpt.restore(template=(state_tpl, extra_tpl))
+    restored = ckpt.restore(step=step, template=(state_tpl, extra_tpl))
     if restored is None:
         raise FileNotFoundError(f"no checkpoint found under {run_dir}")
     _, payload = restored

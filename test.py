@@ -18,6 +18,11 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description="Sample molecules from a trained model")
     p.add_argument("--model_dir", type=Path, help="run dir (config.yaml + checkpoints/)")
+    p.add_argument("--checkpoint", type=int, default=None,
+                   help="checkpoint step to load (default: latest)")
+    p.add_argument("--n_atoms_per_mol", type=int, default=None,
+                   help="fixed atom count for every molecule (default: sample"
+                        " sizes from the training histogram)")
     p.add_argument("--model_name", type=str, help="name in trained_models/")
     p.add_argument("--n_mols", type=int, default=100)
     p.add_argument("--n_timesteps", type=int, default=250)
@@ -40,6 +45,8 @@ def parse_args():
     p.add_argument("--profile", type=Path, default=None,
                    help="capture a jax.profiler trace of sampling")
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--reos_raw", action="store_true",
+                   help="dump the raw per-molecule REOS flag matrix")
     p.add_argument("--devices", type=int, default=1,
                    help="shard each sampling batch over the first N devices "
                         "(data-parallel mesh)")
@@ -76,7 +83,7 @@ def main():
     from flowmol_tpu.api import load_pretrained, load_run, resolve_data_dir
 
     if args.model_dir is not None:
-        pm = load_run(args.model_dir)
+        pm = load_run(args.model_dir, step=args.checkpoint)
     elif args.model_name is not None:
         pm = load_pretrained(args.model_name)
     else:
@@ -91,7 +98,10 @@ def main():
 
     # sample size-bucketed padded batches (padding waste is quadratic in the
     # pairwise compute); chunks respect max_batch_size (test.py:99-133)
-    sizes = pm.n_atoms_dist.sample(rng, args.n_mols)
+    if args.n_atoms_per_mol is not None:
+        sizes = np.full(args.n_mols, args.n_atoms_per_mol)
+    else:
+        sizes = pm.n_atoms_dist.sample(rng, args.n_mols)
     all_mols = []
     if args.profile:
         jax.profiler.start_trace(str(args.profile))
@@ -173,6 +183,22 @@ def main():
         if args.metrics_file:
             with open(args.metrics_file, "w") as f:
                 json.dump(metrics, f, indent=2, default=float)
+
+        if args.reos_raw:
+            # raw per-molecule REOS flag matrix + ring counts (reference
+            # test.py:201-206); gated on useful_rdkit_utils/rdkit
+            import pickle
+            raw = analyzer.reos_and_rings(all_mols, return_raw=True)
+            if "reos_flag_arr" in raw:
+                base = args.output_file or Path("samples.out")
+                raw_file = base.parent / f"{base.stem}_reos_and_rings.pkl"
+                raw_file.parent.mkdir(parents=True, exist_ok=True)
+                with open(raw_file, "wb") as f:
+                    pickle.dump(raw, f)
+                print(f"wrote REOS raw data -> {raw_file}")
+            else:
+                print("--reos_raw: REOS unavailable "
+                      "(needs rdkit + useful_rdkit_utils)")
 
 
 if __name__ == "__main__":
