@@ -113,6 +113,7 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
                     max_batch_size: int = 128,
                     buckets=SAMPLING_BUCKETS, visualize: bool = False,
                     sample_fn_cache: Optional[dict] = None, mesh=None,
+                    max_in_flight: Optional[int] = None,
                     **knobs):
     """Sample molecules of the given sizes, bucketed by padded size.
 
@@ -120,6 +121,15 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
     O(N^2) pairwise compute makes padding waste quadratic.  Returns a list of
     (final_state_np, node_mask_np, traj_or_None) per dispatched batch, in
     bucket order with molecule order preserved within a bucket.
+
+    Dispatch is pipelined: batch k+1 is dispatched (and its device→host copy
+    scheduled asynchronously) *before* batch k's outputs are materialized, so
+    device compute, the host transfer, and host-side work overlap.  Over a
+    tunneled device link the transfer otherwise dominates wall-clock (the
+    reference materializes strictly serially — flowmol.py:565 g.to('cpu')
+    inside the per-batch loop).  `max_in_flight` bounds how many un-fetched
+    batches may be queued on device (default: unbounded for final states,
+    2 when `visualize` since trajectories are (T,B,N,·) sized).
 
     With `mesh` (a 1-D `jax.sharding.Mesh`), each dispatched batch is sharded
     over the mesh's data axis (batch rows padded to the device count with
@@ -131,6 +141,11 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
     from flowmol_tpu.parallel import mesh as pmesh
 
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    # the cache key must distinguish meshes with identical device counts
+    # (and mesh=None vs a 1-device mesh): a cached function is jitted with
+    # that mesh's shardings baked in
+    mesh_fp = (tuple(d.id for d in mesh.devices.flat)
+               if mesh is not None else None)
     fns = sample_fn_cache if sample_fn_cache is not None else {}
     groups: Dict[int, list] = {}
     for s in np.asarray(sizes):
@@ -139,8 +154,7 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
                  int(np.ceil(s / 8) * 8))
         groups.setdefault(b, []).append(int(s))
 
-    results = []
-    chunk = 0
+    jobs = []
     for n_pad, szs in sorted(groups.items()):
         for i in range(0, len(szs), max_batch_size):
             part = np.asarray(szs[i:i + max_batch_size])
@@ -149,24 +163,45 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
                 part = np.concatenate(
                     [part, np.zeros(n_dev - n_real % n_dev, part.dtype)])
             node_mask = np.arange(n_pad)[None, :] < part[:, None]
-            key = (len(part), n_pad, n_dev)
-            if key not in fns:
-                fn = model.make_sample_fn(n_timesteps=n_timesteps,
-                                          visualize=visualize, **knobs)
-                fns[key] = (pmesh.jit_sample_fn(fn, mesh) if mesh is not None
-                            else jax.jit(fn))
-            nm_dev = jnp.asarray(node_mask)
-            if mesh is not None:
-                nm_dev = jax.device_put(nm_dev, pmesh.batch_sharding(mesh))
-            out = fns[key](params, jax.random.PRNGKey(seed + chunk), nm_dev)
-            if visualize:
-                final, traj = out
-                traj = jax.tree.map(lambda a: np.asarray(a)[:, :n_real], traj)
-            else:
-                final, traj = out, None
-            final = jax.tree.map(lambda a: np.asarray(a)[:n_real], final)
-            results.append((final, node_mask[:n_real], traj))
-            chunk += 1
+            jobs.append((n_pad, part, n_real, node_mask))
+
+    if max_in_flight is None:
+        max_in_flight = 2 if visualize else len(jobs)
+    max_in_flight = max(int(max_in_flight), 1)
+
+    results: list = [None] * len(jobs)
+    pending: list = []  # (job_idx, out, n_real, node_mask)
+
+    def _materialize(idx, out, n_real, node_mask):
+        if visualize:
+            final, traj = out
+            traj = jax.tree.map(lambda a: np.asarray(a)[:, :n_real], traj)
+        else:
+            final, traj = out, None
+        final = jax.tree.map(lambda a: np.asarray(a)[:n_real], final)
+        results[idx] = (final, node_mask[:n_real], traj)
+
+    for chunk, (n_pad, part, n_real, node_mask) in enumerate(jobs):
+        key = (len(part), n_pad, n_dev, mesh_fp)
+        if key not in fns:
+            fn = model.make_sample_fn(n_timesteps=n_timesteps,
+                                      visualize=visualize, **knobs)
+            fns[key] = (pmesh.jit_sample_fn(fn, mesh) if mesh is not None
+                        else jax.jit(fn))
+        nm_dev = jnp.asarray(node_mask)
+        if mesh is not None:
+            nm_dev = jax.device_put(nm_dev, pmesh.batch_sharding(mesh))
+        out = fns[key](params, jax.random.PRNGKey(seed + chunk), nm_dev)
+        # schedule the device→host copy now; it starts the moment the batch's
+        # computation finishes, overlapping with later batches' compute
+        for leaf in jax.tree.leaves(out):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        pending.append((chunk, out, n_real, node_mask))
+        while len(pending) > max_in_flight:
+            _materialize(*pending.pop(0))
+    while pending:
+        _materialize(*pending.pop(0))
     return results
 
 

@@ -266,19 +266,36 @@ def generate_dataset(out_dir, n_molecules: int = 1000, seed: int = 0,
 
         # observed (element, charge) -> valency table, the same artifact the
         # real pipelines emit (process_qm9.py valencies json); SampleAnalyzer
-        # prefers it over the legacy MiDi table.  Bond token n_bond_types-1
-        # is aromatic (order 1.5) only in 5-class (aromatic) datasets.
+        # prefers it over the legacy MiDi table.  In 5-class (aromatic)
+        # datasets, the reference's explicit-aromaticity convention records
+        # (n_aromatic_bonds, non_aromatic_valency) integer pairs instead of
+        # rounding a 1.5-summed float (process_geom.py:92-110).
+        explicit_arom = n_bond_types == 5
         rows = []
         for x, a, c, bonds, bond_types in ms:
-            val = np.zeros(x.shape[0])
-            for (i, j), t in zip(bonds, bond_types):
-                o = 1.5 if (n_bond_types == 5 and int(t) == 4) else float(t)
-                val[i] += o
-                val[j] += o
-            rows.extend((int(a[k]), int(c[k]), int(round(val[k])))
-                        for k in range(x.shape[0]))
+            if explicit_arom:
+                n_arom = np.zeros(x.shape[0], np.int64)
+                non_arom = np.zeros(x.shape[0], np.int64)
+                for (i, j), t in zip(bonds, bond_types):
+                    if int(t) == 4:
+                        n_arom[i] += 1
+                        n_arom[j] += 1
+                    else:
+                        non_arom[i] += int(t)
+                        non_arom[j] += int(t)
+                rows.extend(
+                    (int(a[k]), int(c[k]), int(n_arom[k]), int(non_arom[k]))
+                    for k in range(x.shape[0]))
+            else:
+                val = np.zeros(x.shape[0], np.int64)
+                for (i, j), t in zip(bonds, bond_types):
+                    val[i] += int(t)
+                    val[j] += int(t)
+                rows.extend((int(a[k]), int(c[k]), int(val[k]))
+                            for k in range(x.shape[0]))
         from flowmol_tpu.data.featurizer import build_valency_table
-        table = build_valency_table(np.asarray(rows, np.int64), atom_map)
+        table = build_valency_table(np.asarray(rows, np.int64), atom_map,
+                                    explicit_aromaticity=explicit_arom)
         suffix = "aromatic" if n_bond_types == 5 else "kekulized"
         import json
         with open(out / f"{split}_data_valencies_{suffix}.json", "w") as f:

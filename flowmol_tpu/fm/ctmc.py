@@ -168,6 +168,12 @@ def campbell_step(rng, p1: jnp.ndarray, xt: jnp.ndarray, *,
     will_mask = (u2 < mask_prob) & (xt != mask_index) & valid_mask
     will_mask = will_mask & ~last_step  # no re-masking on the final step
 
+    # explicit final unmask: under the reference's schedules unmask_prob
+    # clips to 1.0 at the final grid point (ctmc_vector_field.py:430-434),
+    # so this is behavior-identical there — but it guarantees no mask token
+    # survives sampling under *any* schedule (pathological nu, eta=0, ...)
+    will_unmask = will_unmask | (last_step & (xt == mask_index) & valid_mask)
+
     out = jnp.where(will_mask, mask_index, xt)
     out = jnp.where(will_unmask, x1, out)
     return CatStepOut(xt=out, x1_sampled=x1)

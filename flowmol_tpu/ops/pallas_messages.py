@@ -221,15 +221,24 @@ def pallas_message_agg(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
                        x, ef, node_mask, dtype=None, bi: int = 8):
     """Drop-in replacement for xla_message_agg (same weights, same outputs).
 
-    `bi`: destination rows per grid step (requires N % bi == 0 and
-    bi * N % 24 == 0 so coordinate row blocks stay sublane-aligned).
+    `bi`: destination rows per grid step.  Requires N % bi == 0 and
+    bi * N % 8 == 0 (sublane alignment of coordinate row blocks); when N is
+    not divisible by the requested bi, bi is halved until it divides N
+    (warning emitted — a degraded grid of small row blocks loses the kernel's
+    tiling benefit).
     """
     if spec.message_norm == "mean":
         raise NotImplementedError("pallas path supports 'sum'/const norm")
     dt = dtype or jnp.float32
     B, n = sc.shape[:2]
+    requested_bi = bi
     while n % bi:
         bi //= 2
+    if bi != requested_bi:
+        import warnings
+        warnings.warn(
+            f"pallas_message_agg: reduced bi {requested_bi} -> {bi} so it "
+            f"divides N={n}; grid degrades to {bi}-row blocks", stacklevel=2)
     assert bi >= 1 and (bi * n) % 8 == 0, (n, bi)
     ncp = spec.n_cp_feats
     h0 = spec.h0

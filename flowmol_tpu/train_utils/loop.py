@@ -121,8 +121,12 @@ class Trainer:
         params = self.state.ema if self.state.ema is not None else \
             self.state.params
         if n_pad not in self._sample_fns:
+            # use the model's own sampling config (flowmol.py:241-253 samples
+            # with the model defaults) so in-training metrics are comparable
+            # with final evals — not a hardcoded shorter schedule
             self._sample_fns[n_pad] = jax.jit(
-                self.model.make_sample_fn(n_timesteps=100))
+                self.model.make_sample_fn(
+                    n_timesteps=self.model.cfg.default_n_timesteps))
         final = self._sample_fns[n_pad](params, jax.random.PRNGKey(rng_seed),
                                         jnp.asarray(node_mask))
         final = jax.tree.map(np.asarray, final)

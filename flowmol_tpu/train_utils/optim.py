@@ -106,5 +106,12 @@ def ema_init(params):
     return jax.tree.map(lambda p: p, params)
 
 
-def ema_update(ema, params, decay: float):
+def ema_update(ema, params, decay: float, num_updates=None):
+    """EMA with torch_ema warmup semantics (the reference wraps torch_ema,
+    utils/ema.py): effective decay = min(decay, (1 + n) / (10 + n)) where n
+    counts prior EMA updates — early updates track the raw params closely
+    instead of being anchored to the random init."""
+    if num_updates is not None:
+        n = jnp.asarray(num_updates, jnp.float32)
+        decay = jnp.minimum(decay, (1.0 + n) / (10.0 + n))
     return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, params)

@@ -79,7 +79,8 @@ def make_train_step(model: FlowMol, tx, lr_cfg: LRScheduleConfig,
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        ema = (ema_update(state.ema, params, ema_decay)
+        ema = (ema_update(state.ema, params, ema_decay,
+                          num_updates=state.step)
                if state.ema is not None else None)
 
         metrics = {f"{k}_train_loss": v for k, v in losses.items()}

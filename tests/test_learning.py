@@ -30,6 +30,15 @@ CTMC_PRIOR = {
     "e": {"align": False, "type": "ctmc", "kwargs": {}},
 }
 
+# FlowMol1-style simplex priors for the continuous parameterizations
+# (reference priors.py:244-264; uniform-simplex is the Dirichlet(1) prior)
+SIMPLEX_PRIOR = {
+    "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
+    "a": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+    "c": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+    "e": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+}
+
 N_PAD = 12
 
 
@@ -39,7 +48,7 @@ def _sample_metrics(model, params, sizes, seed=99):
     out = jax.tree.map(np.asarray,
                        fn(params, jax.random.PRNGKey(seed), jnp.asarray(nm)))
     mols = molecules_from_sampled_state(out, nm, model.cfg.atom_type_map,
-                                        ctmc_mol=True)
+                                        ctmc_mol=model.cfg.is_ctmc)
     return SampleAnalyzer().analyze(mols)
 
 
@@ -82,3 +91,52 @@ def test_ctmc_training_improves_sampled_chemistry():
     # 600 tiny-model steps cannot reach full validity, but chemistry must
     # move decisively toward the data (untrained stability is ~0.0)
     assert m1["frac_atoms_stable"] > m0["frac_atoms_stable"] + 0.4
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("param", ["endpoint", "vector-field", "dirichlet"])
+def test_continuous_parameterizations_learn(param):
+    """The FlowMol1 train→sample math (endpoint / vector-field / dirichlet)
+    must demonstrably learn, not just run: a tiny model trained a few hundred
+    steps must markedly improve sampled chemistry over untrained (VERDICT r1
+    item 2; parity: vector_field.py:593-811).
+
+    Calibration (900-step runs of the same setup): endpoint reaches
+    atoms_stable ~0.48, vector-field ~0.43, dirichlet ~0.59 from ~0.00."""
+    cfg = tiny_config(parameterization=param)
+    cfg = cfg.__class__(**{**cfg.__dict__, "prior_config": SIMPLEX_PRIOR,
+                           "distort_p": 0.0})
+    model = FlowMol(cfg)
+    dc = DataConfig(prior_config=SIMPLEX_PRIOR, n_atom_types=cfg.n_atom_types,
+                    n_bond_types=cfg.n_bond_types, fake_atom_p=0.0,
+                    is_ctmc=False)
+    rng = np.random.default_rng(0)
+    mols = []
+    for _ in range(8):
+        x, a, c, bonds, _bts = generate_molecule(
+            rng, int(rng.integers(6, N_PAD + 1)), 5)
+        adj = np.zeros((len(a), len(a)), np.int32)
+        adj[bonds[:, 0], bonds[:, 1]] = _bts
+        mols.append({"x": x, "a": a, "c": c, "adj": np.maximum(adj, adj.T)})
+    sizes = np.array([len(m["a"]) for m in mols] * 4)
+
+    lr_cfg = LRScheduleConfig(base_lr=2e-3)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), lr_cfg, 0.0)
+    step = jax.jit(make_train_step(model, tx, lr_cfg, 0.0))
+
+    m0 = _sample_metrics(model, state.params, sizes)
+    assert m0["frac_atoms_stable"] < 0.25  # untrained: bonded soup
+
+    first_loss = None
+    for i in range(500):
+        batch = pad_batch([prepare_molecule(rng, m, dc) for m in mols], N_PAD)
+        batch = jax.tree.map(jnp.asarray, batch)
+        state, metrics = step(state, batch, jax.random.PRNGKey(i),
+                              jnp.asarray(i / 100.0))
+        if first_loss is None:
+            first_loss = float(metrics["total_train_loss"])
+    last_loss = float(metrics["total_train_loss"])
+    assert last_loss < 0.8 * first_loss
+
+    m1 = _sample_metrics(model, state.params, sizes)
+    assert m1["frac_atoms_stable"] > m0["frac_atoms_stable"] + 0.25

@@ -50,9 +50,14 @@ def _setup(ncp=2, dst=True, B=2, N=32, s_msg=16, v_msg=4, de=8):
     return spec, w, sc, s_dst, vc, v_dst, x, ef, node_mask
 
 
-@pytest.mark.parametrize("ncp,dst", [(0, False), (2, True)])
-def test_pallas_matches_xla(ncp, dst, monkeypatch):
-    spec, w, sc, s_dst, vc, v_dst, x, ef, node_mask = _setup(ncp=ncp, dst=dst)
+# N=24/40 cover non-power-of-two buckets, N=200 covers the ad-hoc >192
+# fallback bucket, N=20 forces the bi-reduction path (8 -> 4)
+@pytest.mark.parametrize("ncp,dst,N", [(0, False, 32), (2, True, 32),
+                                       (2, True, 24), (0, False, 40),
+                                       (2, True, 200), (0, False, 20)])
+def test_pallas_matches_xla(ncp, dst, N, monkeypatch):
+    spec, w, sc, s_dst, vc, v_dst, x, ef, node_mask = _setup(ncp=ncp, dst=dst,
+                                                             N=N)
     pair_mask = node_mask_to_pair_mask(node_mask)
 
     ref_s, ref_v = xla_message_agg(w, spec, sc, s_dst, vc, v_dst, x, ef,

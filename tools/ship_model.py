@@ -43,7 +43,10 @@ def main():
     shutil.copy2(args.run_dir / "config.yaml", dst / "config.yaml")
     shutil.copytree(ckpts / str(step), dst / "checkpoints" / str(step))
 
-    if args.metrics_file and args.metrics_file.exists():
+    if args.metrics_file and not args.metrics_file.exists():
+        raise SystemExit(f"--metrics_file {args.metrics_file} does not exist; "
+                         "refusing to ship a model without its metrics")
+    if args.metrics_file:
         with open(args.metrics_file) as f:
             metrics = json.load(f)
         metrics["_checkpoint_step"] = step
