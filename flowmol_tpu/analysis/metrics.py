@@ -226,8 +226,13 @@ class SampleAnalyzer:
                     n_valid += 1
 
         n = max(len(molecules), 1)
+        # the proxy is labeled with its own key so no consumer can mistake
+        # a structural approximation for RDKit sanitize+SMILES validity
+        # (the reference's frac_valid_mols, metrics.py:170-227)
+        valid_key = ("frac_valid_mols" if HAVE_RDKIT
+                     else "frac_valid_mols_structural")
         return {
-            "frac_valid_mols": n_valid / n,
+            valid_key: n_valid / n,
             "avg_frag_frac": float(np.mean(frag_fracs)) if frag_fracs else 0.0,
             "avg_num_components": (float(np.mean(num_components))
                                    if num_components else 0.0),

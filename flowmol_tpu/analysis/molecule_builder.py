@@ -91,6 +91,40 @@ class SampledMolecule:
             arom_dependent=explicit_aromaticity)
         self._rdkit_mol = None
 
+    # ----------------------------------------------------------- constructors
+    @classmethod
+    def from_rdkit_mol(cls, mol, atom_type_map: Optional[Sequence[str]] = None,
+                       **kwargs) -> "SampledMolecule":
+        """Build from an RDKit molecule — the reverse constructor the
+        baseline-comparison flow needs (molecule_builder.py:86-128).
+
+        Aromatic bonds (order 1.5 in the adjacency) map to token 4; charges
+        are stored offset by +2 to mirror the sampled-token convention.
+        """
+        if not HAVE_RDKIT:
+            raise ImportError("from_rdkit_mol requires RDKit")
+        if atom_type_map is None:
+            atom_type_map = sorted({a.GetSymbol() for a in mol.GetAtoms()})
+        tok = {s: i for i, s in enumerate(atom_type_map)}
+
+        n = mol.GetNumAtoms()
+        positions = np.asarray(mol.GetConformer().GetPositions(), np.float64)
+        atom_tokens = np.zeros(n, np.int64)
+        charge_tokens = np.zeros(n, np.int64)
+        for i, atom in enumerate(mol.GetAtoms()):
+            atom_tokens[i] = tok[atom.GetSymbol()]
+            charge_tokens[i] = atom.GetFormalCharge() + 2
+
+        adj = np.asarray(Chem.rdmolops.GetAdjacencyMatrix(mol, useBO=True),
+                         np.float64)
+        bonds = np.where(adj == 1.5, 4, adj).astype(np.int64)
+        kwargs.setdefault("ctmc_mol", False)
+        # token 4 is aromatic only under explicit aromaticity; without it the
+        # constructor would treat 4 as the mask token and drop those bonds
+        kwargs.setdefault("explicit_aromaticity", bool((adj == 1.5).any()))
+        return cls(positions, atom_tokens, charge_tokens, bonds,
+                   atom_type_map, **kwargs)
+
     # ------------------------------------------------------------- structure
     def compute_valencies(self, arom_dependent: bool = False) -> np.ndarray:
         """Sum of bond orders per atom; aromatic counts 1.5.  With explicit
@@ -240,8 +274,9 @@ def trajectory_xyz_frames(traj: Dict[str, np.ndarray], mol_idx: int,
     key_a = "a_pred" if endpoint else "a"
     if key_x not in traj:
         raise KeyError(
-            f"trajectory has no '{key_x}' frames (endpoint trajectories are "
-            "recorded for the CTMC sampler only)")
+            f"trajectory has no '{key_x}' frames (the vector-field "
+            "parameterization has no endpoint estimate to record — "
+            "vector_field.py:463-466; all others record {feat}_pred frames)")
     xs = np.asarray(traj[key_x])[:, mol_idx, :n]
     ats = np.asarray(traj[key_a])[:, mol_idx, :n]
     if ats.ndim == 3:  # continuous simplex states -> tokens

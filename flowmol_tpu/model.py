@@ -689,7 +689,19 @@ class FlowMol:
                 new_st[feat] = x_s
             new_prev = (dst if (cfg.vf.self_conditioning and not is_vf)
                         else prev_dst)
-            ys = new_st if visualize else None
+            if visualize:
+                ys = dict(new_st)
+                if not is_vf:
+                    # predicted-endpoint frames ({feat}_1_pred,
+                    # vector_field.py:556-559); the reference's VectorField
+                    # records none — no endpoint estimate exists for it
+                    # (vector_field.py:463-466)
+                    ys["x_pred"] = dst["x"]
+                    ys["a_pred"] = dst["a"]
+                    ys["c_pred"] = dst["c"]
+                    ys["e_pred"] = dst["e"]
+            else:
+                ys = None
             return (new_st, new_prev, key), ys
 
         xs = (t_grid[:-1], alpha[:-1], alpha_prime[:-1], t_grid[1:] - t_grid[:-1])
@@ -750,7 +762,14 @@ class FlowMol:
                 new_st[feat] = x_s
 
             new_prev = dst if cfg.vf.self_conditioning else prev_dst
-            ys = new_st if visualize else None
+            if visualize:
+                ys = dict(new_st)
+                ys["x_pred"] = dst["x"]
+                ys["a_pred"] = dst["a"]
+                ys["c_pred"] = dst["c"]
+                ys["e_pred"] = dst["e"]
+            else:
+                ys = None
             return (new_st, new_prev, key), ys
 
         xs = (t_grid[:-1], alpha[:-1], alpha_prime[:-1], w_grid[:-1],

@@ -26,30 +26,12 @@ def load_samples(path: Path):
 
 
 def rdkit_to_sampled(mols, atom_type_map=None):
-    """RDKit mols -> SampledMolecule (reverse constructor; parity:
-    molecule_builder.py:86-128)."""
-    from rdkit import Chem
-
+    """RDKit mols -> SampledMolecule via the class's own reverse constructor
+    (parity: molecule_builder.py:86-128)."""
     from flowmol_tpu.analysis.molecule_builder import SampledMolecule
 
-    out = []
-    for mol in mols:
-        if mol is None:
-            continue
-        syms = [a.GetSymbol() for a in mol.GetAtoms()]
-        amap = atom_type_map or sorted(set(syms))
-        tok = {s: i for i, s in enumerate(amap)}
-        n = mol.GetNumAtoms()
-        pos = mol.GetConformer().GetPositions()
-        a = np.array([tok[s] for s in syms], np.int64)
-        c = np.array([at.GetFormalCharge() for at in mol.GetAtoms()],
-                     np.int64) + 2
-        adj = Chem.rdmolops.GetAdjacencyMatrix(mol, useBO=True).astype(
-            np.float64)
-        bonds = np.where(adj == 1.5, 4, adj).astype(np.int64)
-        out.append(SampledMolecule(pos, a, np.clip(c, 0, 5), bonds, amap,
-                                   ctmc_mol=False))
-    return out
+    return [SampledMolecule.from_rdkit_mol(m, atom_type_map=atom_type_map)
+            for m in mols if m is not None]
 
 
 def main():

@@ -125,9 +125,11 @@ def test_analyzer_prefers_dataset_valency_table(tmp_path):
     assert m["frac_connected"] == 1.0
     from flowmol_tpu.analysis.molecule_builder import HAVE_RDKIT
     if not HAVE_RDKIT:
-        # structural-fallback validity: connected + stable; with RDKit the
-        # radical sanitizes cleanly and frac_valid would be 1.0
-        assert m["frac_valid_mols"] == 0.5
+        # the structural proxy is emitted under its own labeled key (never
+        # as frac_valid_mols); with RDKit the radical sanitizes cleanly and
+        # frac_valid_mols would be 1.0
+        assert "frac_valid_mols" not in m
+        assert m["frac_valid_mols_structural"] == 0.5
 
     # without the json it falls back to MiDi, where CH3 counts stable
     an_midi = SampleAnalyzer()

@@ -79,6 +79,53 @@ def test_trajectory_frames_continuous():
     frames = trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map,
                                    ctmc_mol=False)
     assert len(frames) == 4 and frames[0].splitlines()[0] == "6"
+    # endpoint parameterization records {feat}_pred frames (parity:
+    # vector_field.py:556-559) — --ep_traj must work on endpoint models
+    ep = trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map, endpoint=True,
+                               ctmc_mol=False)
+    assert len(ep) == 4 and ep[0].splitlines()[0] == "6"
+
+
+def test_trajectory_endpoint_frames_vf_raises():
+    """The vector-field parameterization has no endpoint estimate; asking for
+    endpoint trajectory frames raises a clear KeyError
+    (vector_field.py:463-466)."""
+    import dataclasses
+
+    cfg = tiny_config(parameterization="vector-field")
+    cfg = dataclasses.replace(cfg, prior_config={
+        "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
+        "a": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+        "c": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+        "e": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+    })
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    results = bucketed_sample(model, params, np.array([6]), seed=0,
+                              n_timesteps=4, buckets=(8,), visualize=True)
+    final, nm, traj = results[0]
+    assert trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map,
+                                 ctmc_mol=False)
     with pytest.raises(KeyError):
         trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map, endpoint=True,
                               ctmc_mol=False)
+
+
+def test_dirichlet_trajectory_endpoint_frames():
+    import dataclasses
+
+    cfg = tiny_config(parameterization="dirichlet")
+    cfg = dataclasses.replace(cfg, prior_config={
+        "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
+        "a": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+        "c": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+        "e": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+    })
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    results = bucketed_sample(model, params, np.array([5]), seed=0,
+                              n_timesteps=4, buckets=(8,), visualize=True)
+    final, nm, traj = results[0]
+    ep = trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map, endpoint=True,
+                               ctmc_mol=False)
+    assert len(ep) == 3 and ep[0].splitlines()[0] == "5"

@@ -24,7 +24,7 @@ def main():
                 train.append(d)
             elif "total_val_loss" in d:
                 val.append(d)
-            elif "frac_valid_mols" in d:
+            elif "frac_valid_mols" in d or "frac_valid_mols_structural" in d:
                 evals.append(d)
 
     def fmt(d, keys):
@@ -42,10 +42,10 @@ def main():
     if val:
         print(f"val:   last {fmt(val[-1], ['total_val_loss', 'x_val_loss', 'a_val_loss', 'e_val_loss'])}")
     if evals:
-        print(f"in-training sampling evals ({len(evals)}; 100-step protocol):")
+        print(f"in-training sampling evals ({len(evals)}; model-default timestep protocol):")
         for d in evals[-args.last:]:
             print(f"  step {d.get('step'):>7}  "
-                  f"{fmt(d, ['frac_valid_mols', 'frac_atoms_stable', 'frac_connected', 'frac_mols_stable_valence'])}")
+                  f"{fmt(d, ['frac_valid_mols', 'frac_valid_mols_structural', 'frac_atoms_stable', 'frac_connected', 'frac_mols_stable_valence'])}")
 
 
 if __name__ == "__main__":
