@@ -345,11 +345,32 @@ class MoleculeDataModule:
         return self._batchers[split]
 
     def iter_split(self, split: str, rng: np.random.Generator,
-                   prefetch: int = 2) -> Iterator[TrainBatch]:
+                   prefetch: int = 2,
+                   local_rows: Optional[Tuple[int, int]] = None
+                   ) -> Iterator[TrainBatch]:
+        """Iterate padded batches.
+
+        `local_rows=(host, n_hosts)`: multi-host mode — every host walks the
+        IDENTICAL batcher schedule (same seed → matching compiled programs
+        and collectives across processes) but runs the expensive per-molecule
+        prep (OT Hungarian+Kabsch, padding) only on its own contiguous row
+        slice of each global batch, yielding local-rows-only TrainBatches for
+        `mesh.shard_local_batch`.  The reference shards work per rank the
+        same way (adaptive_sampler.py:18-29); preparing the full global batch
+        on every host scales host CPU cost with n_hosts for no benefit.
+        """
         ds = self.dataset(split)
 
         def gen():
             for n_pad, idxs in self.batcher(split):
+                if local_rows is not None:
+                    h, n_hosts = local_rows
+                    per = len(idxs) // n_hosts
+                    if per * n_hosts != len(idxs):
+                        raise ValueError(
+                            f"global batch size {len(idxs)} not divisible by "
+                            f"{n_hosts} hosts (set divisible_by)")
+                    idxs = idxs[h * per:(h + 1) * per]
                 mols = [prepare_molecule(rng, ds.get_molecule(i), self.cfg)
                         for i in idxs]
                 yield pad_batch(mols, n_pad)

@@ -87,6 +87,23 @@ def shard_global_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree.map(put, batch)
 
 
+def shard_local_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Multi-process sharding from LOCAL rows: each host passes only its own
+    prepared row slice (see MoleculeDataModule.iter_split(local_rows=...));
+    the global array is assembled across processes without any host ever
+    materializing rows it doesn't own.  Replaces `shard_global_batch`'s
+    prepare-everything-then-slice flow for the training path."""
+    n_hosts = jax.process_count()
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(a):
+        a = np.asarray(a)
+        global_shape = (a.shape[0] * n_hosts,) + a.shape[1:]
+        return jax.make_array_from_process_local_data(sh, a, global_shape)
+
+    return jax.tree.map(put, batch)
+
+
 def per_host_slice(n_total: int, host_id: int, n_hosts: int) -> slice:
     """Contiguous per-host dataset fraction, mirroring the reference's
     rank-aware sharding (adaptive_sampler.py:22-29)."""

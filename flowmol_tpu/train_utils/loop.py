@@ -67,13 +67,18 @@ class Trainer:
         eval_step = make_eval_step(model)
 
         self.is_primary = jax.process_index() == 0
+        self._local_rows = None  # (host, n_hosts) when multi-process
         if use_mesh and len(jax.devices()) > 1:
             self.mesh = pmesh.make_mesh()
             self.train_step = pmesh.jit_train_step(train_step, self.mesh)
             if jax.process_count() > 1:
-                # multi-host: identical global batches on every host, each
-                # contributing its row slice (see mesh.shard_global_batch)
-                self._shard = lambda b: pmesh.shard_global_batch(b, self.mesh)
+                # multi-host: identical batcher schedule on every host, but
+                # each host prepares ONLY its contiguous row slice of each
+                # global batch (iter_split(local_rows=...)) and contributes
+                # it via mesh.shard_local_batch — host prep cost stays
+                # constant as hosts are added (adaptive_sampler.py:18-29)
+                self._local_rows = (jax.process_index(), jax.process_count())
+                self._shard = lambda b: pmesh.shard_local_batch(b, self.mesh)
             else:
                 self._shard = lambda b: pmesh.shard_batch_pytree(b, self.mesh)
         else:
@@ -155,7 +160,8 @@ class Trainer:
             else:
                 n_val = self.data.batcher("val").n_batches_per_epoch()
                 max_batches = max(1, int(limit * n_val))
-        for tb in self.data.iter_split("val", np_rng):
+        for tb in self.data.iter_split("val", np_rng,
+                                       local_rows=self._local_rows):
             m = self.eval_step(val_params, self._shard(tb), rng)
             for k, v in m.items():
                 agg.setdefault(k, []).append(float(v))
@@ -177,15 +183,17 @@ class Trainer:
 
         for epoch in range(self.epoch, self.max_epochs):
             self.epoch = epoch
-            for batch_idx, tb in enumerate(self.data.iter_split("train",
-                                                                np_rng)):
+            for batch_idx, tb in enumerate(self.data.iter_split(
+                    "train", np_rng, local_rows=self._local_rows)):
                 epoch_exact = epoch + batch_idx / batches_per_epoch
                 rng, k_step = jax.random.split(rng)
                 self.state, metrics = self.train_step(
                     self.state, self._shard(tb), k_step,
                     jnp.asarray(epoch_exact))
                 self.global_step += 1
-                mols_seen += tb.node_mask.shape[0]
+                # global molecule count (tb holds only local rows multi-host)
+                mols_seen += tb.node_mask.shape[0] * (
+                    self._local_rows[1] if self._local_rows else 1)
 
                 if self.global_step % 50 == 0 or self.global_step == 1:
                     metrics = {k: float(v) for k, v in metrics.items()}

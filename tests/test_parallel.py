@@ -96,3 +96,59 @@ def test_per_host_slice():
     s3 = pmesh.per_host_slice(100, 3, 4)
     assert s0 == slice(0, 25)
     assert s3 == slice(75, 100)
+
+
+def test_local_rows_iter_matches_global_schedule(tmp_path, monkeypatch):
+    """Multi-host input sharding (VERDICT r1 item 5): with
+    iter_split(local_rows=(h, 2)) each simulated host prepares ONLY its half
+    of every global batch — identical batch schedule, per-host prep count
+    halved, and the concatenated ground-truth rows equal the unsharded
+    batch's rows exactly."""
+    from flowmol_tpu.data import dataset as dsmod
+    from flowmol_tpu.data.dataset import DataConfig, MoleculeDataModule
+    from flowmol_tpu.data.synthetic import generate_dataset
+
+    out = generate_dataset(tmp_path / "ds", n_molecules=48, seed=0)
+    prior = {
+        "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
+        "a": {"align": False, "type": "ctmc", "kwargs": {}},
+        "c": {"align": False, "type": "ctmc", "kwargs": {}},
+        "e": {"align": False, "type": "ctmc", "kwargs": {}},
+    }
+    dc = DataConfig(prior_config=prior, n_atom_types=5, n_bond_types=4,
+                    fake_atom_p=0.0, is_ctmc=True)
+
+    calls = {"n": 0}
+    orig = dsmod.prepare_molecule
+
+    def counting(rng, mol, cfg):
+        calls["n"] += 1
+        return orig(rng, mol, cfg)
+
+    monkeypatch.setattr(dsmod, "prepare_molecule", counting)
+
+    def collect(local_rows):
+        dm = MoleculeDataModule(out, dc, max_num_edges=2000, divisible_by=2)
+        rng = np.random.default_rng(7)
+        return [b for b in dm.iter_split("train", rng, prefetch=0,
+                                         local_rows=local_rows)]
+
+    full = collect(None)
+    n_full = calls["n"]
+    calls["n"] = 0
+    h0 = collect((0, 2))
+    n_h0 = calls["n"]
+    calls["n"] = 0
+    h1 = collect((1, 2))
+
+    assert n_h0 * 2 == n_full  # per-host prep cost halved
+    assert len(h0) == len(h1) == len(full)  # identical batch schedule
+    for bf, b0, b1 in zip(full, h0, h1):
+        B = bf.node_mask.shape[0]
+        assert b0.node_mask.shape[0] == b1.node_mask.shape[0] == B // 2
+        # ground-truth fields are deterministic given the schedule: the two
+        # hosts' rows concatenate to exactly the unsharded batch
+        for f in ("x1", "a1", "c1", "e1", "node_mask"):
+            np.testing.assert_array_equal(
+                np.concatenate([getattr(b0, f), getattr(b1, f)], 0),
+                getattr(bf, f))
