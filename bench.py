@@ -71,7 +71,8 @@ def main():
     config = read_config_file("configs/flowmol3.yml")
     model = model_from_config(config)
     params = model.init_params(jax.random.PRNGKey(0))
-    compute_dtype = str(config["vector_field"].get("compute_dtype", "float32"))
+    # the model's ACTUAL compute dtype (VectorFieldConfig defaults bfloat16)
+    compute_dtype = str(model.cfg.vf.compute_dtype or "float32")
     peak = PEAK_FLOPS.get(compute_dtype, PEAK_FLOPS["float32"])
 
     hist = NAtomsDistribution.load(
