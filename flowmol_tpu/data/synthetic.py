@@ -12,7 +12,7 @@ are identical to real data.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -207,14 +207,22 @@ def generate_molecule(rng: np.random.Generator, n: int, n_atom_types: int,
 
 def generate_dataset(out_dir, n_molecules: int = 1000, seed: int = 0,
                      atom_map=("C", "H", "N", "O", "F"), n_bond_types: int = 4,
-                     hist_asset: Optional[str] = None, splits=(0.9, 0.05, 0.05)):
-    """Write train/val/test packed .npz + stats files into out_dir."""
+                     hist_asset: Optional[str] = None, splits=(0.9, 0.05, 0.05),
+                     size_range: Optional[Tuple[int, int]] = None):
+    """Write train/val/test packed .npz + stats files into out_dir.
+
+    `size_range=(lo, hi)` overrides the histogram with uniform sizes — used
+    to stress the largest O(N^2) buckets (GEOM tops out at 181 atoms but the
+    histogram tail is too thin to draw them reliably)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     n_atom_types = len(atom_map)
 
-    if hist_asset and Path(hist_asset).exists():
+    if size_range is not None:
+        sizes = rng.integers(size_range[0], size_range[1] + 1,
+                             size=n_molecules)
+    elif hist_asset and Path(hist_asset).exists():
         d = np.load(hist_asset)
         hist = NAtomsDistribution(d["n_atoms"], d["counts"])
         sizes = hist.sample(rng, n_molecules)
