@@ -31,7 +31,9 @@ import numpy as np
 from flowmol_tpu.data.priors import coupled_node_prior_np, np_sample_prior_feat
 from flowmol_tpu.model import TrainBatch
 
-DEFAULT_BUCKETS = (16, 24, 32, 48, 64, 96, 128, 160, 192)
+# 224/256 cover GEOM's 181-atom max after fake-atom augmentation
+# (ceil(181 * 1.3) = 236 with the reference's fake_atom_p=0.3)
+DEFAULT_BUCKETS = (16, 24, 32, 48, 64, 96, 128, 160, 192, 224, 256)
 
 
 # --------------------------------------------------------------------------- #
