@@ -152,3 +152,18 @@ def test_local_rows_iter_matches_global_schedule(tmp_path, monkeypatch):
             np.testing.assert_array_equal(
                 np.concatenate([getattr(b0, f), getattr(b1, f)], 0),
                 getattr(bf, f))
+
+
+def test_shard_local_batch_single_process_matches_pytree():
+    """shard_local_batch with process_count=1 must place batches identically
+    to shard_batch_pytree (the single-host degenerate case of the multi-host
+    local-rows path)."""
+    cfg = tiny_config()
+    batch = random_batch(B=8, N=8, cfg=cfg)
+    mesh = pmesh.make_mesh(8)
+    a = pmesh.shard_local_batch(batch, mesh)
+    b = pmesh.shard_batch_pytree(batch, mesh)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert x.shape == y.shape
+        assert x.sharding == y.sharding
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
