@@ -39,14 +39,31 @@ def edges_to_upper(e: jnp.ndarray, n: int) -> jnp.ndarray:
     return e[:, iu, ju]
 
 
-def upper_to_dense(vals: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(B, M, ...) -> symmetric (B, N, N, ...) with zero diagonal."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _pair_index_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static inverse map pair_index[i,j] = upper-list position of {i,j}
+    (both triangles), plus an off-diagonal mask."""
     iu, ju = upper_tri_indices(n)
-    shape = (vals.shape[0], n, n) + vals.shape[2:]
-    out = jnp.zeros(shape, vals.dtype)
-    out = out.at[:, iu, ju].set(vals)
-    out = out.at[:, ju, iu].set(vals)
-    return out
+    pair_idx = np.zeros((n, n), np.int32)
+    k = np.arange(iu.shape[0], dtype=np.int32)
+    pair_idx[iu, ju] = k
+    pair_idx[ju, iu] = k
+    return pair_idx, ~np.eye(n, dtype=bool)
+
+
+def upper_to_dense(vals: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(B, M, ...) -> symmetric (B, N, N, ...) with zero diagonal.
+
+    Implemented as a GATHER through a static (N, N) index table instead of
+    two scatter-updates: this runs once per scan step on (B, N, N, K)
+    tensors, and TPU gathers lower far better than scatters."""
+    pair_idx, offdiag = _pair_index_tables(n)
+    out = vals[:, pair_idx]  # (B, N, N, ...)
+    mask = jnp.asarray(offdiag).reshape((1, n, n) + (1,) * (vals.ndim - 2))
+    return jnp.where(mask, out, jnp.zeros((), vals.dtype))
 
 
 def upper_valid_mask(node_mask: jnp.ndarray) -> jnp.ndarray:
