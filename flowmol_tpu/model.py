@@ -556,7 +556,18 @@ class FlowMol:
 
         up_valid = ctmc.upper_valid_mask(node_mask)
 
+        # when the network embeds tokens (CTMC configs), feed integer tokens
+        # straight through — building (B,N,N,K+1) one-hots per scan step just
+        # for the embedding layer to argmax them back wastes HBM bandwidth.
+        # (The diagonal decodes as class 0, exactly like the all-zero one-hot
+        # rows argmax'd to 0 before.)
+        use_tokens = (cfg.vf.a_token_dim > 0 and cfg.vf.c_token_dim > 0
+                      and cfg.vf.e_token_dim > 0)
+
         def onehot_state(st):
+            if use_tokens:
+                return (st["x"], st["a"], st["c"],
+                        ctmc.upper_to_dense(st["e_up"], n))
             return (st["x"],
                     jax.nn.one_hot(st["a"], ka + 1),
                     jax.nn.one_hot(st["c"], kc + 1),

@@ -224,19 +224,25 @@ class MolGVPNet(nn.Module):
 
     # ------------------------------------------------------------------ embed
     def _embed(self, a_t, c_t, e_t, t, node_mask):
+        """Token-embedding paths (a/c/e_token_dim > 0) accept EITHER float
+        one-hot/simplex inputs (argmax'd to indices) or integer token arrays
+        directly — the CTMC sampler passes tokens so no (B,N,N,K) one-hot is
+        ever materialized on the scan's hot path."""
         c = self.cfg
         parts = []
         if self.a_embed is None:
             parts += [a_t, c_t]
         else:
-            parts += [self.a_embed(jnp.argmax(a_t, -1)),
-                      self.c_embed(jnp.argmax(c_t, -1))]
+            a_idx = a_t if a_t.ndim == 2 else jnp.argmax(a_t, -1)
+            c_idx = c_t if c_t.ndim == 2 else jnp.argmax(c_t, -1)
+            parts += [self.a_embed(a_idx), self.c_embed(c_idx)]
+        bn = (parts[0].shape[0], parts[0].shape[1])
         if c.time_embedding_dim == 1:
-            t_emb = t[:, None, None] * jnp.ones(a_t.shape[:2] + (1,))
+            t_emb = t[:, None, None] * jnp.ones(bn + (1,))
         else:
             t_emb = time_embedding(t, c.time_embedding_dim)
             t_emb = jnp.broadcast_to(t_emb[:, None, :],
-                                     a_t.shape[:2] + (c.time_embedding_dim,))
+                                     bn + (c.time_embedding_dim,))
         parts.append(t_emb)
         s = self.scalar_embedding(jnp.concatenate(parts, axis=-1))
 
@@ -247,7 +253,8 @@ class MolGVPNet(nn.Module):
             # the (K+1, token_dim) table once and gather, instead of a
             # B*N^2-row matmul
             table = self.edge_embedding(self.e_embed.embedding)
-            ef = table[jnp.argmax(e_t, -1)]
+            e_idx = e_t if e_t.ndim == 3 else jnp.argmax(e_t, -1)
+            ef = table[e_idx]
 
         v = jnp.zeros(s.shape[:2] + (c.n_vec_channels, 3), dtype=s.dtype)
         s = s * node_mask[..., None]
