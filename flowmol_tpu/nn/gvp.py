@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from flowmol_tpu.nn.embedding import norm_no_nan, rbf
+from flowmol_tpu.parallel.pairshard import constrain_pairs
 
 # torch-style uniform fan-in init (U(-1/sqrt(fan_in), +1/sqrt(fan_in))),
 # matching the reference's Wh/Wu init scheme and torch.nn.Linear defaults.
@@ -387,13 +388,15 @@ class GVPConv(nn.Module):
                     dtype=dt)
             return self._finish(s, v, agg_s, agg_v, node_mask, deterministic)
 
-        d_ef = jnp.concatenate([d, ef], axis=-1) if self.edge_feat_size > 0 else d
+        d_ef = constrain_pairs(
+            jnp.concatenate([d, ef], axis=-1) if self.edge_feat_size > 0 else d)
         _, v0_out, _, s0_out = dims[0]
         msg_s, msg_v = PairGVP(
             s_src_dim=s_msg, s_edge_dim=d_ef.shape[-1], s_dst_dim=s_dst_dim,
             v_src_dim=v_msg, v_dst_dim=v_dst_dim, s_out=s0_out, v_out=v0_out,
             n_cp_feats=self.n_cp_feats, dtype=dt,
             name="edge_message_0")(sc, d_ef, s_dst, x_diff, vc, v_dst)
+        msg_s, msg_v = constrain_pairs(msg_s), constrain_pairs(msg_v)
         if len(dims) > 1:
             msg_s, msg_v = GVPChain(dims[1:], self.n_cp_feats, dtype=dt,
                                     name="edge_message")((msg_s, msg_v))

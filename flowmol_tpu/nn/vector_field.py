@@ -27,6 +27,7 @@ from flax import linen as nn
 from flowmol_tpu.graphs import (masked_mean_nodes, node_mask_to_pair_mask,
                                 symmetrize_edge_feats)
 from flowmol_tpu.nn.embedding import norm_no_nan, rbf, time_embedding
+from flowmol_tpu.parallel.pairshard import constrain_pairs
 from flowmol_tpu.nn.gvp import (EdgeUpdate, GVPConv, NodePositionUpdate,
                                 _dense, torch_uniform)
 
@@ -139,8 +140,8 @@ class SelfConditioningResidual(nn.Module):
         # (per-pair MLPs run in the compute dtype — this is per-step hot work
         # on the sampling path)
         dt = c.dtype
-        d_t = pairwise_rbf(x, c.rbf_dmax, c.rbf_dim)
-        d_1 = pairwise_rbf(prev["x"], c.rbf_dmax, c.rbf_dim)
+        d_t = constrain_pairs(pairwise_rbf(x, c.rbf_dmax, c.rbf_dim))
+        d_1 = constrain_pairs(pairwise_rbf(prev["x"], c.rbf_dmax, c.rbf_dim))
         ef_sym = symmetrize_edge_feats(ef)  # canonical upper-triangle values
         edge_in = jnp.concatenate([ef_sym.astype(dt), prev["e"].astype(dt),
                                    (d_1 - d_t).astype(dt)], axis=-1)
@@ -148,7 +149,7 @@ class SelfConditioningResidual(nn.Module):
                                   kernel_init=torch_uniform)(edge_in))
         he = jax.nn.silu(nn.Dense(c.n_hidden_edge_feats, dtype=dt,
                                   kernel_init=torch_uniform)(he))
-        ef_out = ef_sym + he.astype(jnp.float32)  # symmetric residual
+        ef_out = constrain_pairs(ef_sym + he.astype(jnp.float32))  # symmetric residual
         return s_out, ef_out
 
 
@@ -258,13 +259,13 @@ class MolGVPNet(nn.Module):
 
         v = jnp.zeros(s.shape[:2] + (c.n_vec_channels, 3), dtype=s.dtype)
         s = s * node_mask[..., None]
-        return s, v, ef
+        return s, v, constrain_pairs(ef)
 
     # ---------------------------------------------------------------- denoise
     def _denoise(self, s, v, x, ef, node_mask, apply_softmax, remove_com,
                  deterministic):
         c = self.cfg
-        pair_mask = node_mask_to_pair_mask(node_mask)
+        pair_mask = constrain_pairs(node_mask_to_pair_mask(node_mask))
 
         # the explicit-weight message path computes pairwise geometry
         # internally (fused with the first layer), so only materialize
@@ -274,9 +275,11 @@ class MolGVPNet(nn.Module):
 
         def geometry(pos):
             if not explicit_msgs:
-                return pairwise_distances(pos, c.rbf_dmax, c.rbf_dim)
+                xd, dd = pairwise_distances(pos, c.rbf_dmax, c.rbf_dim)
+                return constrain_pairs(xd), constrain_pairs(dd)
             if c.update_edge_w_distance:
-                return None, pairwise_rbf(pos, c.rbf_dmax, c.rbf_dim)
+                return None, constrain_pairs(
+                    pairwise_rbf(pos, c.rbf_dmax, c.rbf_dim))
             return None, None
 
         x_diff, d = geometry(x)
@@ -293,7 +296,7 @@ class MolGVPNet(nn.Module):
                     x = self.node_position_updaters[upd_idx](s, x, v)
                     x = x * node_mask[..., None]
                     x_diff, d = geometry(x)
-                    ef = self.edge_updaters[upd_idx](s, ef, d)
+                    ef = constrain_pairs(self.edge_updaters[upd_idx](s, ef, d))
 
         node_out = self.node_output_head(s)
         a_logits = node_out[..., :c.n_atom_types]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flowmol_tpu.nn.embedding import norm_no_nan, rbf
+from flowmol_tpu.parallel.pairshard import constrain_pairs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,9 +160,10 @@ def xla_message_agg(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
     dt = dtype or sc.dtype
     diff = x[:, None, :, :] - x[:, :, None, :]
     dij = norm_no_nan(diff, axis=-1, keepdims=True) + 1e-8
-    x_diff = (diff / dij).astype(dt)
+    x_diff = constrain_pairs((diff / dij).astype(dt))
     d = rbf(dij[..., 0], d_max=spec.rbf_dmax, d_count=spec.rbf_dim)
-    d_ef = (jnp.concatenate([d, ef], -1) if spec.edge_feat_dim else d).astype(dt)
+    d_ef = constrain_pairs(
+        (jnp.concatenate([d, ef], -1) if spec.edge_feat_dim else d).astype(dt))
 
     s, v = _layer0(w, spec, dt, sc.astype(dt),
                    None if not spec.s_dst else s_dst.astype(dt),

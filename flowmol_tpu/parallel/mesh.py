@@ -66,6 +66,59 @@ def jit_sample_fn(sample_fn, mesh: Mesh, axis_name: str = "data"):
     return jax.jit(sample_fn, in_shardings=(repl, repl, bsh))
 
 
+def make_mesh_2d(n_data: int, n_edge: int) -> Mesh:
+    """2-D ('data', 'edge') mesh: batch over `data`, the destination-row axis
+    of every O(N^2) pair tensor over `edge` (see parallel/pairshard.py).  Use
+    n_data=1, n_edge=D to spread one giant molecule's pair blocks over D
+    chips; `n_edge` should divide the padded bucket size for even shards."""
+    devs = jax.devices()[:n_data * n_edge]
+    if len(devs) < n_data * n_edge:
+        raise ValueError(f"need {n_data * n_edge} devices, "
+                         f"have {len(jax.devices())}")
+    return Mesh(np.array(devs).reshape(n_data, n_edge), ("data", "edge"))
+
+
+def pair_sharding_2d(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, N_dst, N_src, ...) pair tensors on a 2-D mesh."""
+    return NamedSharding(mesh, P("data", "edge"))
+
+
+def jit_sample_fn_2d(sample_fn, mesh: Mesh):
+    """jit a (params, rng, node_mask) sampler over a ('data', 'edge') mesh:
+    molecule batch sharded over `data`, pair tensors sharded over `edge` via
+    the pairshard trace context.  GSPMD inserts the node-feature all-gathers
+    and keeps the per-destination-row message reduction chip-local."""
+    from flowmol_tpu.parallel.pairshard import pair_sharding
+
+    repl = replicated(mesh)
+    bsh = NamedSharding(mesh, P("data"))
+    psh = pair_sharding_2d(mesh)
+
+    def wrapped(params, rng, node_mask):
+        with pair_sharding(psh):
+            return sample_fn(params, rng, node_mask)
+
+    return jax.jit(wrapped, in_shardings=(repl, repl, bsh))
+
+
+def jit_forward_2d(forward_fn, mesh: Mesh, n_batch_args: int = 1):
+    """jit an arbitrary forward fn (params, *batch_arrays) over a 2-D mesh:
+    every batch array sharded over `data` on axis 0, pair tensors created
+    inside sharded over `edge`."""
+    from flowmol_tpu.parallel.pairshard import pair_sharding
+
+    repl = replicated(mesh)
+    bsh = NamedSharding(mesh, P("data"))
+    psh = pair_sharding_2d(mesh)
+
+    def wrapped(params, *batch):
+        with pair_sharding(psh):
+            return forward_fn(params, *batch)
+
+    return jax.jit(wrapped,
+                   in_shardings=(repl,) + (bsh,) * n_batch_args)
+
+
 def shard_global_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Multi-process sharding: every host builds the identical global batch
     (shared batcher schedule → identical compiled programs/collectives on all
