@@ -229,7 +229,7 @@ class PretrainedModel:
                 self.model, self.params, sizes, seed=seed,
                 n_timesteps=n_timesteps, **kwargs):
             mols.extend(molecules_from_sampled_state(
-                final, node_mask, cfg.atom_type_map, ctmc_mol=cfg.is_ctmc,
+                final, node_mask, cfg.atom_type_map, ctmc_mol=cfg.discrete_cats,
                 fake_atoms=cfg.fake_atom_p > 0,
                 explicit_aromaticity=cfg.explicit_aromaticity))
         return mols

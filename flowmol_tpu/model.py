@@ -121,6 +121,34 @@ class FlowMolConfig:
     def mask_idxs(self) -> Dict[str, int]:
         return self.n_cats
 
+    @property
+    def cat_prior_masked(self) -> bool:
+        """Endpoint parameterization with the ctmc mask prior.  This is the
+        only categorical prior the current reference permits for ANY
+        parameterization (flowmol.py:190-193), though its EndpointVectorField
+        cannot actually run it (sample_conditional_path would shape-mismatch
+        the (K+1)-dim prior against the K-dim target, vector_field.py:576-590).
+
+        Here the combination is implemented to completion as the masked
+        discrete flow it mathematically is: Bernoulli-sampled mask/real token
+        states on the (K+1)-simplex in training, CE on still-masked tokens,
+        and jump-process (CTMC) sampling — i.e. the proven CTMC machinery
+        with one-hot simplex network inputs instead of token embeddings.
+        A deterministic *linear* path from the mask vertex is NOT used: at
+        any alpha>0 the true class is the only real class with mass, so the
+        network just copies its input (CE -> 0) and has no signal at
+        sampling time (measured: 0.0 valid after 5k steps)."""
+        if self.is_ctmc or not self.prior_config:
+            return False
+        return (self.prior_config.get("a", {}) or {}).get("type") == "ctmc"
+
+    @property
+    def discrete_cats(self) -> bool:
+        """True when categorical features are token states sampled by the
+        discrete jump process (ctmc parameterization, or endpoint with the
+        ctmc mask prior)."""
+        return self.is_ctmc or self.cat_prior_masked
+
     @classmethod
     def from_config(cls, cfg: dict) -> "FlowMolConfig":
         """Build from the reference's YAML schema (mol_fm / vector_field /
@@ -142,18 +170,29 @@ class FlowMolConfig:
 
         schedule = InterpolantSchedule.from_config(cfg.get("interpolant_scheduler"))
 
+        prior_cfg = mol_fm.get("prior_config", {}) or {}
+        prior_x_std = float(((prior_cfg.get("x") or {}).get("kwargs") or {})
+                            .get("std", 1.0))
+
+        cat_prior = (prior_cfg.get("a", {}) or {}).get("type")
+        if cat_prior == "ctmc" and parameterization in ("vector-field",
+                                                        "dirichlet"):
+            # the mask prior needs a network head for the mask class under
+            # vector-field (its MSE target is (K+1)-dim) and breaks the
+            # dirichlet betainc tables; the reference supports neither either
+            raise NotImplementedError(
+                f"ctmc mask prior is not supported for the "
+                f"{parameterization} parameterization (use endpoint or ctmc)")
+
         n_atom_types = len(atom_map) + (1 if fake_atom_p > 0 else 0)
         vf = VectorFieldConfig.from_config(
             vf_cfg, n_atom_types=n_atom_types, n_charges=n_charges,
-            n_bond_types=n_bond, has_mask=(parameterization == "ctmc"))
+            n_bond_types=n_bond,
+            has_mask=(parameterization == "ctmc" or cat_prior == "ctmc"))
 
         samp_keys = {f.name for f in dataclasses.fields(SamplingConfig)}
         samp_kw = {k: v for k, v in vf_cfg.items()
                    if k in samp_keys and v is not None}
-
-        prior_cfg = mol_fm.get("prior_config", {}) or {}
-        prior_x_std = float(((prior_cfg.get("x") or {}).get("kwargs") or {})
-                            .get("std", 1.0))
 
         return cls(
             atom_type_map=atom_map,
@@ -249,7 +288,7 @@ class FlowMol:
     # ------------------------------------------------------------------ init
     def init_params(self, rng, batch_size: int = 2, n_nodes: int = 8):
         cfg = self.cfg
-        km = cfg.vf.n_mask_feats
+        km = cfg.vf.n_mask_feats or int(cfg.cat_prior_masked)
         x = jnp.zeros((batch_size, n_nodes, 3))
         a = jnp.zeros((batch_size, n_nodes, cfg.n_atom_types + km))
         c = jnp.zeros((batch_size, n_nodes, cfg.n_atom_charges + km))
@@ -273,7 +312,9 @@ class FlowMol:
         ax = alpha[:, FEAT_INDEX["x"]][:, None, None]
         out["x"] = (1 - ax) * batch.x0 + ax * batch.x1
 
-        if cfg.parameterization == "ctmc":
+        if cfg.discrete_cats:
+            # ctmc — and the masked endpoint, whose conditional path is the
+            # same Bernoulli mask/real token draw (see cat_prior_masked)
             ka, kc, ke = cfg.n_atom_types, cfg.n_atom_charges, cfg.n_bond_types
             ra, rc, re = jax.random.split(rng, 3)
             a_t = ctmc.mask_tokens(ra, batch.a1, alpha[:, 1], ka)
@@ -437,7 +478,7 @@ class FlowMol:
                         ce = ce * cw[tokens]
 
             denom = jnp.sum(valid)
-            if cfg.is_ctmc:
+            if cfg.discrete_cats:
                 # loss only where x_t is still the mask token
                 # (flowmol.py:378-384).  With time_scaled_loss the reference
                 # uses reduction='none' + .mean(), so ignored entries stay in
@@ -453,7 +494,7 @@ class FlowMol:
                 if pw is not None:
                     # weighted 'mean' divides by the sum of target weights
                     denom = jnp.sum((1.0 - pw)[tokens] * valid *
-                                    (is_masked if cfg.is_ctmc else 1.0))
+                                    (is_masked if cfg.discrete_cats else 1.0))
 
             ce = ce * valid * w
             losses[feat] = jnp.sum(ce) / jnp.maximum(denom, 1.0)
@@ -472,7 +513,7 @@ class FlowMol:
         kx, kcat = jax.random.split(rng)
         x0 = jax.random.normal(kx, (B, n, 3)) * cfg.prior_x_std
         x0 = remove_com(x0, node_mask)
-        if cfg.is_ctmc:
+        if cfg.discrete_cats:
             a0 = jnp.full((B, n), cfg.n_atom_types, jnp.int32)
             c0 = jnp.full((B, n), cfg.n_atom_charges, jnp.int32)
             m = n * (n - 1) // 2
@@ -499,7 +540,10 @@ class FlowMol:
             kw = fc.get("kwargs", {}) or {}
             k = cfg.n_cats[feat]
             shape = (B, n * (n - 1) // 2, k) if feat == "e" else (B, n, k)
-            if ptype == "gaussian":
+            if ptype == "ctmc":
+                # mask-vertex prior on the (K+1)-simplex (masked endpoint)
+                s = jp.ctmc_masked(shape[:-1], k)
+            elif ptype == "gaussian":
                 s = jp.gaussian_simplex(key, shape, **kw)
             elif ptype == "barycenter":
                 s = jp.barycenter(key, shape, **kw)
@@ -536,9 +580,11 @@ class FlowMol:
         if cfg.parameterization == "dirichlet":
             return self._integrate_dirichlet(params, rng, prior_state,
                                              node_mask, n_timesteps, visualize)
-        if not cfg.is_ctmc:
+        if not cfg.discrete_cats:
             return self._integrate_continuous(params, rng, prior_state,
                                               node_mask, n_timesteps, visualize)
+        # discrete jump-process sampling: ctmc, and the masked endpoint
+        # (endpoint network + ctmc mask prior) which shares the whole path
 
         samp = cfg.sampling
         eta = samp.stochasticity if stochasticity is None else stochasticity

@@ -137,7 +137,7 @@ class Trainer:
         final = jax.tree.map(np.asarray, final)
         mols = molecules_from_sampled_state(
             final, node_mask, self.atom_type_map,
-            ctmc_mol=self.model.cfg.is_ctmc,
+            ctmc_mol=self.model.cfg.discrete_cats,
             fake_atoms=self.model.cfg.fake_atom_p > 0,
             explicit_aromaticity=self.model.cfg.explicit_aromaticity)
         return self.analyzer.analyze(mols)

@@ -119,7 +119,7 @@ def main():
     for final, node_mask, traj in batches:
         all_mols.extend(molecules_from_sampled_state(
             final, node_mask, model.cfg.atom_type_map,
-            ctmc_mol=model.cfg.is_ctmc,
+            ctmc_mol=model.cfg.discrete_cats,
             fake_atoms=model.cfg.fake_atom_p > 0,
             explicit_aromaticity=model.cfg.explicit_aromaticity))
         if visualize:
@@ -133,7 +133,7 @@ def main():
                     frames = trajectory_xyz_frames(
                         traj, m, node_mask, model.cfg.atom_type_map,
                         endpoint=ep, fake_atoms=model.cfg.fake_atom_p > 0,
-                        ctmc_mol=model.cfg.is_ctmc)
+                        ctmc_mol=model.cfg.discrete_cats)
                     tag = "ep" if ep else "xt"
                     fn = args.traj_dir / f"mol_{mol_counter + m}_{tag}.xyz"
                     fn.write_text("\n".join(frames) + "\n")

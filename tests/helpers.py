@@ -72,7 +72,7 @@ def random_batch(rng_seed=0, B=2, N=8, cfg: FlowMolConfig = None) -> TrainBatch:
     e1 = e1 + e1.swapaxes(1, 2)
 
     x0 = rng.standard_normal((B, N, 3)).astype(np.float32) * node_mask[..., None]
-    if cfg.is_ctmc:
+    if cfg.is_ctmc or cfg.cat_prior_masked:
         a0 = np.zeros((B, N, ka + 1), np.float32)
         a0[..., -1] = 1
         c0 = np.zeros((B, N, kc + 1), np.float32)
