@@ -27,7 +27,10 @@ REPO_ROOT = Path(__file__).parent.parent
 # the reference's remote .ckpt files are torch Lightning checkpoints and are
 # not loadable into this framework)
 MODEL_REGISTRY = (
-    "qm9_synth_ctmc",  # shipped in-repo: CTMC model trained on synthetic qm9
+    # shipped in-repo: models trained on the synthetic qm9-like dataset,
+    # one per parameterization (ctmc is the flagship)
+    "qm9_synth_ctmc", "qm9_synth_endpoint", "qm9_synth_vf",
+    "qm9_synth_dirichlet",
     "flowmol3",
     "fm3_nodistort", "fm3_none",
     "fm3_ahigh", "fm3_alow", "fm3_chigh", "fm3_clow",
