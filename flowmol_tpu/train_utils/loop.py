@@ -172,6 +172,10 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
     def fit(self):
+        if self.epoch >= self.max_epochs:
+            print(f"nothing to do: resumed at epoch {self.epoch} >= "
+                  f"max_epochs {self.max_epochs} (pass --max_epochs to extend)")
+            return
         np_rng = np.random.default_rng(self.seed)
         rng = jax.random.PRNGKey(self.seed + 1)
         batches_per_epoch = max(self.data.batcher("train").n_batches_per_epoch(),

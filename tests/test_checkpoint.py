@@ -59,6 +59,47 @@ def test_lr_schedule_values():
     assert float(lr_at(cos, 1.0)) == pytest.approx(5e-4, rel=1e-3)
 
 
+def test_resume_applies_cli_overrides():
+    """Resume must honor sweep flags — in particular --max_epochs, without
+    which a finished run resumes as a silent no-op (regression: the resume
+    branch skipped merge_config_and_args entirely)."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        "train_cli", Path(__file__).parent.parent / "train.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def parse(argv):
+        old = sys.argv
+        try:
+            sys.argv = ["train.py"] + argv
+            return mod.parse_args()
+        finally:
+            sys.argv = old
+
+    ns = parse(["--resume", "x", "--max_epochs", "1600"])
+    out = mod.merge_config_and_args(
+        {"training": {"trainer_args": {"max_epochs": 400}}}, ns)
+    assert out["training"]["trainer_args"]["max_epochs"] == 1600
+    # and with no flags the stored config is untouched
+    ns = parse(["--resume", "x"])
+    out = mod.merge_config_and_args(
+        {"training": {"trainer_args": {"max_epochs": 400}}}, ns)
+    assert out["training"]["trainer_args"]["max_epochs"] == 400
+
+
+def test_fit_noop_when_already_at_max_epochs(capsys):
+    """A resumed trainer at epoch >= max_epochs must return (with a message),
+    not crash or loop."""
+    class T:
+        epoch, max_epochs = 400, 400
+    from flowmol_tpu.train_utils.loop import Trainer
+    Trainer.fit(T())
+    assert "nothing to do" in capsys.readouterr().out
+
+
 def test_prefetch_iterator():
     from flowmol_tpu.data.dataset import prefetch_iterator
     out = list(prefetch_iterator(iter(range(10)), depth=3))

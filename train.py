@@ -154,6 +154,11 @@ def main():
     if args.resume is not None:
         run_dir = Path(args.resume)
         config = load_config(run_dir)
+        # CLI overrides apply on resume too (reference semantics: the sweep
+        # flags win over the stored config) — in particular --max_epochs,
+        # without which a finished run silently resumes as a no-op
+        config = merge_config_and_args(config, args)
+        save_config(run_dir, config)
         resume = True
     else:
         config = read_config_file(args.config)
