@@ -177,6 +177,11 @@ def build_valency_table(all_valencies: np.ndarray, atom_map: Sequence[str],
 def pack_molecules(mols: Sequence[MoleculeData]):
     """Pack featurized molecules into the flat-slab arrays of
     data.dataset.save_packed."""
+    if not mols:
+        return (np.zeros((0, 3), np.float32), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros((0, 2), np.int64), np.zeros((0, 2), np.int64),
+                np.zeros((0, 2), np.int64))
     xs, as_, cs, bts, bis, nidx, eidx = [], [], [], [], [], [], []
     n_off = e_off = 0
     for m in mols:

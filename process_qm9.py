@@ -65,6 +65,11 @@ def process_split(mols, smiles, split_name, out_dir, atom_map,
 
     packed = pack_molecules(ok)
     save_packed(out_dir / f"{split_name}_processed.npz", *packed)
+    if not ok:
+        # an empty split (e.g. tiny dataset_size smoke runs) still gets a
+        # loadable processed file, but no stats artifacts
+        print(f"{split_name}: 0 molecules, failures {dict(failures)}")
+        return
 
     a_all = np.concatenate([m.atom_types for m in ok])
     c_all = np.clip(np.concatenate([m.atom_charges for m in ok]) + 2, 0, 5)
@@ -118,8 +123,10 @@ def main():
     n_samples = df.shape[0]
     n_train = 100000
     n_test = int(0.1 * n_samples)
-    train, val, test = np.split(df.sample(frac=1, random_state=42),
-                                [n_train, n_samples - n_test])
+    perm = df.sample(frac=1, random_state=42)
+    train = perm.iloc[:n_train]
+    val = perm.iloc[n_train:n_samples - n_test]
+    test = perm.iloc[n_samples - n_test:]
     split_idx = {"train_data": set(train.index), "val_data": set(val.index),
                  "test_data": set(test.index)}
 
