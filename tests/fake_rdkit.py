@@ -142,11 +142,17 @@ def _adjacency_matrix(mol: FakeMol, useBO: bool = False):
     return mol.adj if useBO else (mol.adj > 0).astype(np.float64)
 
 
+class Point3D:
+    def __init__(self, x=0.0, y=0.0, z=0.0):
+        self.x, self.y, self.z = x, y, z
+
+
 def install():
-    """Register fake `rdkit` / `rdkit.Chem` modules in sys.modules.
-    Returns the Chem module.  Call `uninstall()` to restore."""
+    """Register fake `rdkit` / `rdkit.Chem` / `rdkit.Geometry` modules in
+    sys.modules.  Returns the Chem module.  Call `uninstall()` to restore."""
     rdkit = types.ModuleType("rdkit")
     chem = types.ModuleType("rdkit.Chem")
+    geom = types.ModuleType("rdkit.Geometry")
     rdmolops = types.ModuleType("rdkit.Chem.rdmolops")
     rdmolops.GetAdjacencyMatrix = _adjacency_matrix
     for name in ("SanitizeMol", "Kekulize", "RemoveHs", "GetMolFrags",
@@ -154,13 +160,17 @@ def install():
                  "KekulizeException"):
         setattr(chem, name, globals()[name])
     chem.rdmolops = rdmolops
+    geom.Point3D = Point3D
     rdkit.Chem = chem
+    rdkit.Geometry = geom
     sys.modules["rdkit"] = rdkit
     sys.modules["rdkit.Chem"] = chem
+    sys.modules["rdkit.Geometry"] = geom
     sys.modules["rdkit.Chem.rdmolops"] = rdmolops
     return chem
 
 
 def uninstall():
-    for name in ("rdkit", "rdkit.Chem", "rdkit.Chem.rdmolops"):
+    for name in ("rdkit", "rdkit.Chem", "rdkit.Geometry",
+                 "rdkit.Chem.rdmolops"):
         sys.modules.pop(name, None)

@@ -226,3 +226,39 @@ def test_process_qm9_end_to_end(rdkit_fixture, tmp_path, monkeypatch):
             ) is not None
     # 12 mols - 1 None - 1 skip-listed = 10 land across the splits
     assert total == 10
+
+
+# ------------------------------------------------- from_rdkit_mol round-trip
+
+def test_from_rdkit_mol_roundtrip(rdkit_fixture):
+    """from_rdkit_mol (the baselines-flow reverse constructor) must agree
+    with the featurizer on the same molecule (parity:
+    reference molecule_builder.py:86-128)."""
+    import importlib
+
+    import flowmol_tpu.analysis.molecule_builder as mb
+    mb = importlib.reload(mb)  # re-evaluate the gated RDKit import
+    try:
+        from flowmol_tpu.data.featurizer import featurize_molecule
+
+        mol = ethene()
+        sm = mb.SampledMolecule.from_rdkit_mol(mol, atom_type_map=ATOM_MAP)
+        feat = featurize_molecule(mol, AMAP)
+
+        np.testing.assert_array_equal(sm.atom_tokens, feat.atom_types)
+        np.testing.assert_array_equal(sm.atom_charges, feat.atom_charges)
+        np.testing.assert_allclose(sm.positions, feat.positions, atol=1e-6)
+        # dense symmetric bonds match the featurizer's upper-tri list
+        for (i, j), bt in zip(feat.bond_idxs, feat.bond_types):
+            assert sm.bonds[i, j] == bt and sm.bonds[j, i] == bt
+        assert (np.diag(sm.bonds) == 0).all()
+        assert sm.bonds.sum() == 2 * feat.bond_types.sum()
+
+        # aromatic molecule: 1.5 -> token 4, explicit_aromaticity inferred
+        arom = mb.SampledMolecule.from_rdkit_mol(benzene_aromatic(),
+                                                 atom_type_map=ATOM_MAP)
+        assert arom.explicit_aromaticity
+        assert (arom.bonds == 4).sum() == 12  # 6 bonds, both triangles
+    finally:
+        fake_rdkit.uninstall()
+        importlib.reload(mb)
