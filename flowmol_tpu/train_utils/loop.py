@@ -170,6 +170,34 @@ class Trainer:
                 break
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
+    def _dispatch_step(self, tb, k_step, epoch_exact):
+        """Dispatch one train step, retrying transient runtime failures.
+
+        Long runs on remote-attached accelerators see occasional transport
+        errors from the compile/execute service (e.g. "response body closed
+        before all bytes were read"); a failed dispatch never updated
+        `self.state`, so retrying the same step is exact.  Deterministic
+        errors (shape/type/OOM) still fail fast: we retry only
+        JaxRuntimeError whose message marks a transport/service fault, with
+        exponential backoff (the reference's Lightning loop has no such
+        guard — its trainings die on any runtime hiccup)."""
+        transient = ("INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                     "read body", "connection", "Connection")
+        delay = 5.0
+        for attempt in range(6):
+            try:
+                return self.train_step(self.state, self._shard(tb), k_step,
+                                       jnp.asarray(epoch_exact))
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                if attempt == 5 or not any(s in msg for s in transient):
+                    raise
+                print(f"transient runtime error at step {self.global_step} "
+                      f"(attempt {attempt + 1}/6, retrying in {delay:.0f}s): "
+                      f"{msg.splitlines()[0][:200]}")
+                time.sleep(delay)
+                delay = min(delay * 2, 120.0)
+
     # ------------------------------------------------------------------ fit
     def fit(self):
         if self.epoch >= self.max_epochs:
@@ -191,9 +219,8 @@ class Trainer:
                     "train", np_rng, local_rows=self._local_rows)):
                 epoch_exact = epoch + batch_idx / batches_per_epoch
                 rng, k_step = jax.random.split(rng)
-                self.state, metrics = self.train_step(
-                    self.state, self._shard(tb), k_step,
-                    jnp.asarray(epoch_exact))
+                self.state, metrics = self._dispatch_step(
+                    tb, k_step, epoch_exact)
                 self.global_step += 1
                 # global molecule count (tb holds only local rows multi-host)
                 mols_seen += tb.node_mask.shape[0] * (

@@ -113,3 +113,40 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_dispatch_step_retries_transient_errors(monkeypatch):
+    """Transient accelerator-service faults (transport drops, UNAVAILABLE)
+    must be retried with the same inputs — a failed dispatch never updated
+    state — while deterministic errors fail fast."""
+    import jax
+
+    from flowmol_tpu.train_utils.loop import Trainer
+
+    class T:
+        global_step = 7
+        _shard = staticmethod(lambda tb: tb)
+
+    calls = {"n": 0}
+
+    def flaky(state, tb, k, ee):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: read body: response body closed")
+        return "state", {"loss": 0.0}
+
+    t = T()
+    t.state = "s0"
+    t.train_step = flaky
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    out = Trainer._dispatch_step(t, tb=None, k_step=None, epoch_exact=0.0)
+    assert out == ("state", {"loss": 0.0}) and calls["n"] == 3
+
+    def fatal(state, tb, k, ee):
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: shape mismatch")
+
+    t.train_step = fatal
+    import pytest
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        Trainer._dispatch_step(t, tb=None, k_step=None, epoch_exact=0.0)
