@@ -218,14 +218,25 @@ class PretrainedModel:
         self.config = config
         self.n_atoms_dist = n_atoms_dist
 
-    def sample_random_sizes(self, n_molecules: int, n_timesteps=None,
-                            seed: int = 0, **kwargs):
-        """Parity: FlowMol.sample_random_sizes (flowmol.py:473-486)."""
+    def sample_n_atoms(self, n_molecules: int, seed: int = 0) -> np.ndarray:
+        """Draw molecule sizes from the training set's n-atoms distribution.
+        Parity: FlowMol.sample_n_atoms (flowmol.py:468-471)."""
+        rng = np.random.default_rng(seed)
+        return self.n_atoms_dist.sample(rng, n_molecules)
+
+    def sample(self, n_atoms, n_timesteps=None, seed: int = 0, **kwargs):
+        """Sample molecules with the given per-molecule atom counts.
+
+        Parity: FlowMol.sample (flowmol.py:490-560); `n_atoms` is any int
+        array-like of shape (n_molecules,).  Where the reference builds one
+        DGL graph per unique size, here sizes are grouped into padded
+        buckets and each bucket batch runs as one compiled scan
+        (`bucketed_sample`); results are returned in input order like the
+        reference."""
         from flowmol_tpu.analysis.molecule_builder import \
             molecules_from_sampled_state
 
-        rng = np.random.default_rng(seed)
-        sizes = self.n_atoms_dist.sample(rng, n_molecules)
+        sizes = np.asarray(n_atoms, dtype=np.int64)
         cfg = self.model.cfg
         mols = []
         for final, node_mask, _ in bucketed_sample(
@@ -235,7 +246,22 @@ class PretrainedModel:
                 final, node_mask, cfg.atom_type_map, ctmc_mol=cfg.discrete_cats,
                 fake_atoms=cfg.fake_atom_p > 0,
                 explicit_aromaticity=cfg.explicit_aromaticity))
-        return mols
+        # undo the bucket grouping: mols is in (sorted bucket, encounter)
+        # order; map back to the caller's order
+        buckets = kwargs.get("buckets", SAMPLING_BUCKETS)
+        perm = np.argsort([next((b for b in buckets if s <= b),
+                                int(np.ceil(s / 8) * 8)) for s in sizes],
+                          kind="stable")
+        out = [None] * len(mols)
+        for pos, orig in enumerate(perm):
+            out[orig] = mols[pos]
+        return out
+
+    def sample_random_sizes(self, n_molecules: int, n_timesteps=None,
+                            seed: int = 0, **kwargs):
+        """Parity: FlowMol.sample_random_sizes (flowmol.py:473-486)."""
+        return self.sample(self.sample_n_atoms(n_molecules, seed=seed),
+                           n_timesteps=n_timesteps, seed=seed, **kwargs)
 
 
 def load_run(run_dir, step: Optional[int] = None) -> PretrainedModel:

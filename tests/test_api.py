@@ -129,3 +129,18 @@ def test_dirichlet_trajectory_endpoint_frames():
     ep = trajectory_xyz_frames(traj, 0, nm, cfg.atom_type_map, endpoint=True,
                                ctmc_mol=False)
     assert len(ep) == 3 and ep[0].splitlines()[0] == "5"
+
+
+def test_pretrained_sample_in_input_order():
+    """PretrainedModel.sample(n_atoms) returns molecules in the caller's
+    order (parity: FlowMol.sample, flowmol.py:490-560) even though dispatch
+    groups sizes into padded buckets."""
+    from flowmol_tpu.api import PretrainedModel
+
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pm = PretrainedModel(model, params, config={}, n_atoms_dist=None)
+    sizes = [30, 5, 12, 7, 31, 14]  # deliberately bucket-interleaved
+    mols = pm.sample(sizes, n_timesteps=4, buckets=(8, 16, 32))
+    assert [m.num_atoms for m in mols] == sizes
