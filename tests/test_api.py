@@ -144,3 +144,12 @@ def test_pretrained_sample_in_input_order():
     sizes = [30, 5, 12, 7, 31, 14]  # deliberately bucket-interleaved
     mols = pm.sample(sizes, n_timesteps=4, buckets=(8, 16, 32))
     assert [m.num_atoms for m in mols] == sizes
+
+
+def test_flowmol_compat_alias():
+    """`import flowmol` (the reference package name) resolves to this
+    framework so reference-user code runs unchanged."""
+    import flowmol
+    import flowmol_tpu
+    assert flowmol.load_pretrained is flowmol_tpu.load_pretrained
+    assert flowmol.MolBatch is flowmol_tpu.MolBatch
