@@ -7,7 +7,11 @@ set -x
 mkdir -p /tmp/r2logs
 kill "$(cat /tmp/watcher.pid 2>/dev/null)" 2>/dev/null
 for n in endpoint vf dirichlet ctmc; do
-  p=/tmp/train_${n}_v3.pid
+  # supervisors run as setsid session leaders; kill the whole process
+  # group (supervisor + its train.py child)
+  p=/tmp/sup_${n}.pid
+  [ -f "$p" ] && kill -- "-$(cat "$p")" 2>/dev/null
+  p=/tmp/train_${n}_v3.pid   # legacy direct-launch pids
   [ -f "$p" ] && kill "$(cat "$p")" 2>/dev/null
 done
 sleep 15
