@@ -208,8 +208,12 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
         batches_per_epoch = max(self.data.batcher("train").n_batches_per_epoch(),
                                 1)
-        last_sample_marker = 0.0
-        last_val_marker = 0.0
+        # on resume, anchor the eval markers at the resumed epoch: a
+        # segment restart must not re-run the in-loop sampling/val evals
+        # immediately (segmented supervision restarts every few thousand
+        # steps; an eval per restart would be pure overhead)
+        last_sample_marker = float(self.epoch)
+        last_val_marker = float(self.epoch)
         t_start = time.time()
         mols_seen = 0
 

@@ -150,3 +150,13 @@ def test_dispatch_step_retries_transient_errors(monkeypatch):
     import pytest
     with pytest.raises(jax.errors.JaxRuntimeError):
         Trainer._dispatch_step(t, tb=None, k_step=None, epoch_exact=0.0)
+
+
+def test_resume_does_not_immediately_rerun_evals():
+    """fit() anchors the in-loop eval markers at the resumed epoch, so a
+    segmented-supervisor restart does not pay an eval per segment."""
+    import inspect
+
+    from flowmol_tpu.train_utils.loop import Trainer
+    src = inspect.getsource(Trainer.fit)
+    assert "last_sample_marker = float(self.epoch)" in src
