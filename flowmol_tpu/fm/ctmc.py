@@ -67,10 +67,27 @@ def upper_to_dense(vals: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def upper_valid_mask(node_mask: jnp.ndarray) -> jnp.ndarray:
-    """(B, N) -> (B, M) validity of each upper-triangle edge."""
+    """(B, N) -> (B, M) validity of each upper-triangle edge.
+
+    Accepts a bool validity mask or an int graph-id mask (packed rows, see
+    flowmol_tpu.graphs.is_graph_ids): under packing an edge is valid only
+    when both endpoints belong to the same molecule.
+    """
     n = node_mask.shape[1]
     iu, ju = upper_tri_indices(n)
+    if jnp.issubdtype(node_mask.dtype, jnp.integer):
+        gi, gj = node_mask[:, iu], node_mask[:, ju]
+        return (gi == gj) & (gi >= 0)
     return node_mask[:, iu] & node_mask[:, ju]
+
+
+def upper_segment_ids(node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Graph-id per upper-triangle edge; -1 for invalid (padding or
+    cross-molecule) edges.  `node_mask` must be an int graph-id mask."""
+    n = node_mask.shape[1]
+    iu, ju = upper_tri_indices(n)
+    gi, gj = node_mask[:, iu], node_mask[:, ju]
+    return jnp.where((gi == gj) & (gi >= 0), gi, -1)
 
 
 # --------------------------------------------------------------------------- #
@@ -115,22 +132,38 @@ def mask_tokens(rng, x1_tokens: jnp.ndarray, alpha: jnp.ndarray,
 # purity sampling
 # --------------------------------------------------------------------------- #
 
-def purity_sampling(rng, xt: jnp.ndarray, x1_probs: jnp.ndarray,
-                    unmask_prob: jnp.ndarray, mask_index: int,
-                    valid_mask: jnp.ndarray, hc_thresh: float) -> jnp.ndarray:
-    """Budgeted unmasking preferring high-confidence predictions.
+def purity_probs(xt: jnp.ndarray, x1_probs: jnp.ndarray,
+                 unmask_prob: jnp.ndarray, mask_index: int,
+                 valid_mask: jnp.ndarray, hc_thresh: float,
+                 segment_ids: Optional[jnp.ndarray] = None,
+                 n_segments: Optional[int] = None) -> jnp.ndarray:
+    """Per-element unmasking probabilities for purity sampling.
 
     xt: (B, M) tokens; x1_probs: (B, M, K); valid_mask: (B, M) bool.
-    Returns (B, M) bool `will_unmask`.  Per-graph counts are masked sums over
-    axis 1 (the reference used torch_scatter.segment_csr).
+    Per-graph counts are masked sums over axis 1 (the reference used
+    torch_scatter.segment_csr).
+
+    With packed rows (several molecules per row), `segment_ids` (B, M) gives
+    each element's molecule id within its row (-1 = not a molecule element)
+    and `n_segments` the static max molecules per row; the budget math then
+    runs per molecule through a one-hot segment matmul.
     """
     masked = (xt == mask_index) & valid_mask
     purities = jnp.max(x1_probs, axis=-1)
     hc = (purities >= hc_thresh) & masked
     lc = (purities < hc_thresh) & masked
 
-    hc_per_graph = jnp.sum(hc, axis=1).astype(jnp.float32)
-    masked_per_graph = jnp.sum(masked, axis=1).astype(jnp.float32)
+    if segment_ids is not None:
+        # one_hot(-1) is the all-zero row, so invalid elements drop out
+        seg = jax.nn.one_hot(segment_ids, n_segments, dtype=jnp.float32)
+        per = lambda m: jnp.einsum("bm,bmg->bg", m.astype(jnp.float32), seg)
+        back = lambda g: jnp.einsum("bg,bmg->bm", g, seg)
+    else:
+        per = lambda m: jnp.sum(m, axis=1, keepdims=True).astype(jnp.float32)
+        back = lambda g: g  # broadcast (B, 1) against (B, M)
+
+    hc_per_graph = per(hc)
+    masked_per_graph = per(masked)
 
     budget = unmask_prob * masked_per_graph
     ph_max = jnp.where(hc_per_graph > 0, budget / jnp.maximum(hc_per_graph, 1.0),
@@ -141,7 +174,22 @@ def purity_sampling(rng, xt: jnp.ndarray, x1_probs: jnp.ndarray,
                    (budget - ph * hc_per_graph) / jnp.maximum(lc_per_graph, 1.0),
                    0.0)
 
-    prob = jnp.where(hc, ph[:, None], jnp.where(lc, pl[:, None], 0.0))
+    return jnp.where(hc, back(ph), jnp.where(lc, back(pl), 0.0))
+
+
+def purity_sampling(rng, xt: jnp.ndarray, x1_probs: jnp.ndarray,
+                    unmask_prob: jnp.ndarray, mask_index: int,
+                    valid_mask: jnp.ndarray, hc_thresh: float,
+                    segment_ids: Optional[jnp.ndarray] = None,
+                    n_segments: Optional[int] = None) -> jnp.ndarray:
+    """Budgeted unmasking preferring high-confidence predictions.
+
+    Returns (B, M) bool `will_unmask`; see `purity_probs` for the budget
+    math (split out so tests can check it against a per-molecule oracle).
+    """
+    prob = purity_probs(xt, x1_probs, unmask_prob, mask_index, valid_mask,
+                        hc_thresh, segment_ids=segment_ids,
+                        n_segments=n_segments)
     u = jax.random.uniform(rng, xt.shape)
     return (u < prob) & valid_mask
 
@@ -159,7 +207,9 @@ def campbell_step(rng, p1: jnp.ndarray, xt: jnp.ndarray, *,
                   stochasticity: float, hc_thresh: float,
                   alpha_t: jnp.ndarray, alpha_t_prime: jnp.ndarray,
                   dt: jnp.ndarray, mask_index: int,
-                  valid_mask: jnp.ndarray, last_step: jnp.ndarray) -> CatStepOut:
+                  valid_mask: jnp.ndarray, last_step: jnp.ndarray,
+                  segment_ids: Optional[jnp.ndarray] = None,
+                  n_segments: Optional[int] = None) -> CatStepOut:
     """One Campbell et al. CTMC jump step for a categorical feature.
 
     p1: (B, M, K) endpoint probabilities over the K real classes (no mask col);
@@ -176,7 +226,9 @@ def campbell_step(rng, p1: jnp.ndarray, xt: jnp.ndarray, *,
 
     if hc_thresh > 0:
         will_unmask = purity_sampling(k_unmask, xt, p1, unmask_prob, mask_index,
-                                      valid_mask, hc_thresh)
+                                      valid_mask, hc_thresh,
+                                      segment_ids=segment_ids,
+                                      n_segments=n_segments)
     else:
         u = jax.random.uniform(k_unmask, xt.shape)
         will_unmask = (u < unmask_prob) & (xt == mask_index) & valid_mask

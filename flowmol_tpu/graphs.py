@@ -36,10 +36,34 @@ NODE_FEATS = ("x", "a", "c")
 EDGE_FEATS = ("e",)
 
 
+def is_graph_ids(node_mask: jnp.ndarray) -> bool:
+    """True when a mask argument is a packed-row graph-id array.
+
+    Packing convention (the TPU answer to the reference's ragged DGL batch
+    *and* to its tiny-batch sampling dispatches, test.py:99-133): a "row" of
+    the padded batch may hold SEVERAL molecules.  `node_mask` is then an
+    int32 (B, N) array of per-node graph ids, local to the row (0..G-1),
+    with -1 marking padding slots.  A boolean (B, N) mask keeps the original
+    one-molecule-per-row semantics.  All mask helpers below accept either.
+    """
+    return jnp.issubdtype(node_mask.dtype, jnp.integer)
+
+
+def node_validity(node_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) bool/graph-id mask -> (B, N) bool node validity."""
+    return node_mask >= 0 if is_graph_ids(node_mask) else node_mask
+
+
 def node_mask_to_pair_mask(node_mask: jnp.ndarray) -> jnp.ndarray:
-    """(B, N) bool -> (B, N, N) bool of valid *directed* edges (i != j)."""
+    """(B, N) bool or graph-id mask -> (B, N, N) bool of valid *directed*
+    edges (i != j, and same molecule under packing)."""
     n = node_mask.shape[-1]
-    pair = node_mask[..., :, None] & node_mask[..., None, :]
+    if is_graph_ids(node_mask):
+        valid = node_mask >= 0
+        pair = (node_mask[..., :, None] == node_mask[..., None, :]) \
+            & valid[..., :, None] & valid[..., None, :]
+    else:
+        pair = node_mask[..., :, None] & node_mask[..., None, :]
     eye = jnp.eye(n, dtype=bool)
     return pair & ~eye
 
@@ -79,7 +103,20 @@ def masked_mean_nodes(feat: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def remove_com(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
-    """Project positions into the zero-center-of-mass subspace per molecule."""
+    """Project positions into the zero-center-of-mass subspace per molecule.
+
+    With a graph-id mask (packed rows) the CoM is a per-molecule segment
+    mean, computed as one (B,N,N)x(B,N,3) matmul through the same-molecule
+    incidence matrix — O(B*N^2*3), negligible next to the O(B*N^2*hidden)
+    message passing it sits beside.
+    """
+    if is_graph_ids(node_mask):
+        valid = node_mask >= 0
+        same = ((node_mask[..., :, None] == node_mask[..., None, :])
+                & valid[..., :, None] & valid[..., None, :]).astype(x.dtype)
+        s = jnp.einsum("bij,bjd->bid", same, x)
+        cnt = jnp.maximum(jnp.sum(same, axis=-1, keepdims=True), 1.0)
+        return jnp.where(valid[..., None], x - s / cnt, x)
     com = masked_mean_nodes(x, node_mask)
     return jnp.where(node_mask[..., None], x - com[:, None, :], x)
 

@@ -24,8 +24,8 @@ import numpy as np
 
 from flowmol_tpu.fm import ctmc
 from flowmol_tpu.fm.interpolant import FEAT_INDEX, InterpolantSchedule
-from flowmol_tpu.graphs import (CANONICAL_FEAT_ORDER, masked_mean_nodes,
-                                remove_com)
+from flowmol_tpu.graphs import (CANONICAL_FEAT_ORDER, is_graph_ids,
+                                masked_mean_nodes, node_validity, remove_com)
 from flowmol_tpu.nn.vector_field import MolGVPNet, VectorFieldConfig
 
 PARAMETERIZATIONS = ("endpoint", "vector-field", "dirichlet", "ctmc")
@@ -569,12 +569,18 @@ class FlowMol:
                   n_timesteps: int, stochasticity: Optional[float] = None,
                   high_confidence_threshold: Optional[float] = None,
                   dfm_type: Optional[str] = None,
-                  visualize: bool = False):
+                  visualize: bool = False,
+                  n_graphs_per_row: Optional[int] = None):
         """Integrate the sampling trajectory with one lax.scan.
 
         prior_state: dict from `sample_prior` (CTMC token states).
         Returns final state dict (tokens for a/c/e_up, positions x) and, when
         `visualize`, stacked per-step trajectory frames.
+
+        `node_mask` may be a bool validity mask or an int graph-id mask for
+        packed rows (several molecules per padded row; graphs.is_graph_ids);
+        when packed, `n_graphs_per_row` must give the static max molecules
+        per row (purity sampling's per-molecule budget math needs it).
         """
         cfg = self.cfg
         if cfg.parameterization == "dirichlet":
@@ -600,7 +606,14 @@ class FlowMol:
         alpha = cfg.schedule.alpha_t(t_grid)
         alpha_prime = cfg.schedule.alpha_t_prime(t_grid)
 
+        nm_valid = node_validity(node_mask)
         up_valid = ctmc.upper_valid_mask(node_mask)
+        packed = is_graph_ids(node_mask)
+        if packed and n_graphs_per_row is None:
+            raise ValueError("packed (graph-id) node_mask requires "
+                             "n_graphs_per_row")
+        seg_node = node_mask if packed else None
+        seg_edge = ctmc.upper_segment_ids(node_mask) if packed else None
 
         # when the network embeds tokens (CTMC configs), feed integer tokens
         # straight through — building (B,N,N,K+1) one-hots per scan step just
@@ -642,14 +655,14 @@ class FlowMol:
 
             # positions: Euler step on the endpoint field
             vf = ap_i[0] / jnp.maximum(1.0 - alpha_i[0], 1e-9) * (dst["x"] - st["x"])
-            x_new = (st["x"] + dt * vf) * node_mask[..., None]
+            x_new = (st["x"] + dt * vf) * nm_valid[..., None]
 
             new_st = {"x": x_new}
             keys = jax.random.split(k_step, 3)
-            for kk, feat, tok_key, kcat, midx, valid in (
-                    (keys[0], "a", "a", ka, ka, node_mask),
-                    (keys[1], "c", "c", kc, kc, node_mask),
-                    (keys[2], "e", "e_up", ke, ke, up_valid)):
+            for kk, feat, tok_key, kcat, midx, valid, seg in (
+                    (keys[0], "a", "a", ka, ka, nm_valid, seg_node),
+                    (keys[1], "c", "c", kc, kc, nm_valid, seg_node),
+                    (keys[2], "e", "e_up", ke, ke, up_valid, seg_edge)):
                 fidx = FEAT_INDEX[feat]
                 p1 = dst[feat]
                 if feat == "e":
@@ -659,7 +672,8 @@ class FlowMol:
                     res = ctmc.campbell_step(
                         kk, p1, st[tok_key], stochasticity=eta, hc_thresh=hc,
                         alpha_t=alpha_i[fidx], alpha_t_prime=ap_i[fidx], dt=dt,
-                        mask_index=midx, valid_mask=valid, last_step=last)
+                        mask_index=midx, valid_mask=valid, last_step=last,
+                        segment_ids=seg, n_segments=n_graphs_per_row)
                 else:
                     res = ctmc.gat_step(
                         kk, p1, st[tok_key], alpha_t=alpha_i[fidx],
@@ -698,6 +712,7 @@ class FlowMol:
         (vector_field.py:388-564, 607-645). State is simplex-valued."""
         cfg = self.cfg
         B, n = node_mask.shape
+        nm_valid = node_validity(node_mask)
         samp = cfg.sampling
         t_grid = jnp.linspace(0.0, 1.0, n_timesteps)
         alpha = cfg.schedule.alpha_t(t_grid)
@@ -740,7 +755,7 @@ class FlowMol:
                     # keep upper/lower triangles tied (vector_field.py:545-556)
                     x_s = ctmc.upper_to_dense(ctmc.edges_to_upper(x_s, n), n)
                 if feat == "x":
-                    x_s = x_s * node_mask[..., None]
+                    x_s = x_s * nm_valid[..., None]
                     if is_vf:
                         x_s = remove_com(x_s, node_mask)
                 new_st[feat] = x_s
@@ -777,6 +792,7 @@ class FlowMol:
 
         cfg = self.cfg
         B, n = node_mask.shape
+        nm_valid = node_validity(node_mask)
         flows = self.dirichlet_flows
         t_grid = jnp.linspace(0.0, 1.0, n_timesteps)
         alpha = cfg.schedule.alpha_t(t_grid)
@@ -804,7 +820,7 @@ class FlowMol:
 
             vf = ap_i[0] / jnp.maximum(1.0 - alpha_i[0], 1e-9) * (
                 dst["x"] - st["x"])
-            new_st = {"x": (st["x"] + dt * vf) * node_mask[..., None]}
+            new_st = {"x": (st["x"] + dt * vf) * nm_valid[..., None]}
 
             for feat, fidx in (("a", 1), ("c", 2), ("e", 3)):
                 x_t = st[feat]
@@ -841,8 +857,12 @@ class FlowMol:
     def make_sample_fn(self, n_timesteps: Optional[int] = None,
                        stochasticity: Optional[float] = None,
                        high_confidence_threshold: Optional[float] = None,
-                       dfm_type: Optional[str] = None, visualize: bool = False):
-        """Return a jittable (params, rng, node_mask) -> final state function."""
+                       dfm_type: Optional[str] = None, visualize: bool = False,
+                       n_graphs_per_row: Optional[int] = None):
+        """Return a jittable (params, rng, node_mask) -> final state function.
+
+        `node_mask` may be a bool validity mask (one molecule per row) or an
+        int graph-id mask (packed rows; pass `n_graphs_per_row`)."""
         nt = n_timesteps or self.cfg.default_n_timesteps
 
         def fn(params, rng, node_mask):
@@ -852,6 +872,7 @@ class FlowMol:
                 params, k_int, prior, node_mask, nt,
                 stochasticity=stochasticity,
                 high_confidence_threshold=high_confidence_threshold,
-                dfm_type=dfm_type, visualize=visualize)
+                dfm_type=dfm_type, visualize=visualize,
+                n_graphs_per_row=n_graphs_per_row)
 
         return fn

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from flowmol_tpu.graphs import (masked_mean_nodes, node_mask_to_pair_mask,
+from flowmol_tpu.graphs import (node_mask_to_pair_mask, node_validity,
+                                remove_com as graphs_remove_com,
                                 symmetrize_edge_feats)
 from flowmol_tpu.nn.embedding import norm_no_nan, rbf, time_embedding
 from flowmol_tpu.parallel.pairshard import constrain_pairs
@@ -258,14 +259,24 @@ class MolGVPNet(nn.Module):
             ef = table[e_idx]
 
         v = jnp.zeros(s.shape[:2] + (c.n_vec_channels, 3), dtype=s.dtype)
-        s = s * node_mask[..., None]
+        s = s * node_validity(node_mask)[..., None]
         return s, v, constrain_pairs(ef)
 
     # ---------------------------------------------------------------- denoise
     def _denoise(self, s, v, x, ef, node_mask, apply_softmax, remove_com,
                  deterministic):
         c = self.cfg
+        # `node_mask` may be a bool validity mask OR an int graph-id mask
+        # (packed rows — several molecules share one padded row; see
+        # flowmol_tpu.graphs.is_graph_ids).  The pair mask is block-diagonal
+        # per molecule either way; everything downstream of it only ever
+        # sees per-node/per-pair masked quantities.
         pair_mask = constrain_pairs(node_mask_to_pair_mask(node_mask))
+        nm_valid = node_validity(node_mask)
+        if c.use_pallas and node_mask is not nm_valid:
+            raise NotImplementedError(
+                "use_pallas computes its pair mask from a boolean node mask "
+                "internally and does not support packed (graph-id) rows")
 
         # the explicit-weight message path computes pairwise geometry
         # internally (fused with the first layer), so only materialize
@@ -286,7 +297,7 @@ class MolGVPNet(nn.Module):
 
         for _ in range(c.n_recycles):
             for conv_idx, conv in enumerate(self.conv_layers):
-                s, v = conv(s, v, ef, x, x_diff, d, pair_mask, node_mask,
+                s, v = conv(s, v, ef, x, x_diff, d, pair_mask, nm_valid,
                             deterministic)
                 # reference trigger (vector_field.py:321): never after the
                 # very first conv, then every convs_per_update convolutions
@@ -294,7 +305,7 @@ class MolGVPNet(nn.Module):
                     upd_idx = (conv_idx // c.convs_per_update
                                if c.separate_mol_updaters else 0)
                     x = self.node_position_updaters[upd_idx](s, x, v)
-                    x = x * node_mask[..., None]
+                    x = x * nm_valid[..., None]
                     x_diff, d = geometry(x)
                     ef = constrain_pairs(self.edge_updaters[upd_idx](s, ef, d))
 
@@ -304,8 +315,7 @@ class MolGVPNet(nn.Module):
         e_logits = self.to_edge_logits(ef + jnp.swapaxes(ef, 1, 2))
 
         if remove_com:
-            com = masked_mean_nodes(x, node_mask)
-            x = jnp.where(node_mask[..., None], x - com[:, None, :], x)
+            x = graphs_remove_com(x, node_mask)
 
         dst = {"x": x, "a": a_logits, "c": c_logits, "e": e_logits}
         if apply_softmax:

@@ -50,6 +50,11 @@ def parse_args():
     p.add_argument("--devices", type=int, default=1,
                    help="shard each sampling batch over the first N devices "
                         "(data-parallel mesh)")
+    p.add_argument("--bucketed", action="store_true",
+                   help="use per-size-bucket batches instead of the default "
+                        "multi-molecule row packing (packing turns the "
+                        "fragmented histogram draw into 1-2 large dispatches;"
+                        " trajectory output always uses the bucketed path)")
     return p.parse_args()
 
 
@@ -110,11 +115,30 @@ def main():
     if args.devices > 1:
         from flowmol_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.devices)
-    batches = bucketed_sample(
-        model, params, sizes, seed=args.seed, n_timesteps=args.n_timesteps,
-        max_batch_size=args.max_batch_size, visualize=visualize, mesh=mesh,
-        stochasticity=args.stochasticity,
-        high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type)
+    use_packed = not (args.bucketed or visualize)
+    if use_packed:
+        from flowmol_tpu.analysis.molecule_builder import SampledMolecule
+        from flowmol_tpu.api import packed_sample
+        states = packed_sample(
+            model, params, sizes, seed=args.seed,
+            n_timesteps=args.n_timesteps,
+            max_batch_size=args.max_batch_size, mesh=mesh,
+            stochasticity=args.stochasticity,
+            high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type)
+        all_mols = [SampledMolecule(
+            st["x"], st["a"], st["c"], st["e"], model.cfg.atom_type_map,
+            ctmc_mol=model.cfg.discrete_cats,
+            fake_atoms=model.cfg.fake_atom_p > 0,
+            explicit_aromaticity=model.cfg.explicit_aromaticity)
+            for st in states]
+        batches = []
+    else:
+        batches = bucketed_sample(
+            model, params, sizes, seed=args.seed,
+            n_timesteps=args.n_timesteps,
+            max_batch_size=args.max_batch_size, visualize=visualize,
+            mesh=mesh, stochasticity=args.stochasticity,
+            high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type)
     mol_counter = 0
     for final, node_mask, traj in batches:
         all_mols.extend(molecules_from_sampled_state(
