@@ -570,7 +570,8 @@ class FlowMol:
                   high_confidence_threshold: Optional[float] = None,
                   dfm_type: Optional[str] = None,
                   visualize: bool = False,
-                  n_graphs_per_row: Optional[int] = None):
+                  n_graphs_per_row: Optional[int] = None,
+                  simplex_project: bool = False):
         """Integrate the sampling trajectory with one lax.scan.
 
         prior_state: dict from `sample_prior` (CTMC token states).
@@ -588,7 +589,8 @@ class FlowMol:
                                              node_mask, n_timesteps, visualize)
         if not cfg.discrete_cats:
             return self._integrate_continuous(params, rng, prior_state,
-                                              node_mask, n_timesteps, visualize)
+                                              node_mask, n_timesteps, visualize,
+                                              simplex_project=simplex_project)
         # discrete jump-process sampling: ctmc, and the masked endpoint
         # (endpoint network + ctmc mask prior) which shares the whole path
 
@@ -707,9 +709,20 @@ class FlowMol:
         return final_state
 
     def _integrate_continuous(self, params, rng, prior_state, node_mask,
-                              n_timesteps: int, visualize: bool = False):
+                              n_timesteps: int, visualize: bool = False,
+                              simplex_project: bool = False):
         """Euler integration for endpoint / vector-field parameterizations
-        (vector_field.py:388-564, 607-645). State is simplex-valued."""
+        (vector_field.py:388-564, 607-645). State is simplex-valued.
+
+        `simplex_project`: project the categorical states back onto the
+        probability simplex after every Euler step.  The reference never
+        does this (its states drift off-simplex, vector_field.py:625-645) —
+        but training only ever presents exact interpolants
+        x_t = (1-a)x_0 + a*x_1, which LIVE on the simplex, so unprojected
+        integration feeds the network inputs from outside its training
+        distribution.  Off by default for reference parity; measured effect
+        documented in trained_models/readme.md.
+        """
         cfg = self.cfg
         B, n = node_mask.shape
         nm_valid = node_validity(node_mask)
@@ -751,6 +764,9 @@ class FlowMol:
                         dst[feat] - x_t)
                     vf = vf * inv_temp
                 x_s = x_t + vf * dt
+                if simplex_project and feat in ("a", "c", "e"):
+                    from flowmol_tpu.data.priors import simplex_proj
+                    x_s = simplex_proj(x_s)
                 if feat == "e":
                     # keep upper/lower triangles tied (vector_field.py:545-556)
                     x_s = ctmc.upper_to_dense(ctmc.edges_to_upper(x_s, n), n)
@@ -858,7 +874,8 @@ class FlowMol:
                        stochasticity: Optional[float] = None,
                        high_confidence_threshold: Optional[float] = None,
                        dfm_type: Optional[str] = None, visualize: bool = False,
-                       n_graphs_per_row: Optional[int] = None):
+                       n_graphs_per_row: Optional[int] = None,
+                       simplex_project: bool = False):
         """Return a jittable (params, rng, node_mask) -> final state function.
 
         `node_mask` may be a bool validity mask (one molecule per row) or an
@@ -873,6 +890,7 @@ class FlowMol:
                 stochasticity=stochasticity,
                 high_confidence_threshold=high_confidence_threshold,
                 dfm_type=dfm_type, visualize=visualize,
-                n_graphs_per_row=n_graphs_per_row)
+                n_graphs_per_row=n_graphs_per_row,
+                simplex_project=simplex_project)
 
         return fn

@@ -35,6 +35,12 @@ def parse_args():
     p.add_argument("--stochasticity", type=float, default=None)
     p.add_argument("--hc_thresh", type=float, default=None)
     p.add_argument("--dfm_type", type=str, default=None)
+    p.add_argument("--simplex_project", action="store_true",
+                   help="endpoint/vector-field only: project categorical "
+                        "states back onto the probability simplex after "
+                        "every Euler step (keeps network inputs on the "
+                        "manifold training presented; the reference "
+                        "integrates unprojected)")
     p.add_argument("--baseline_comparison", action="store_true",
                    help="pickle (mols, sampling_time) for baseline comparison")
     p.add_argument("--xt_traj", action="store_true",
@@ -124,7 +130,8 @@ def main():
             n_timesteps=args.n_timesteps,
             max_batch_size=args.max_batch_size, mesh=mesh,
             stochasticity=args.stochasticity,
-            high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type)
+            high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type,
+            simplex_project=args.simplex_project)
         all_mols = [SampledMolecule(
             st["x"], st["a"], st["c"], st["e"], model.cfg.atom_type_map,
             ctmc_mol=model.cfg.discrete_cats,
@@ -138,7 +145,8 @@ def main():
             n_timesteps=args.n_timesteps,
             max_batch_size=args.max_batch_size, visualize=visualize,
             mesh=mesh, stochasticity=args.stochasticity,
-            high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type)
+            high_confidence_threshold=args.hc_thresh, dfm_type=args.dfm_type,
+            simplex_project=args.simplex_project)
     mol_counter = 0
     for final, node_mask, traj in batches:
         all_mols.extend(molecules_from_sampled_state(

@@ -201,3 +201,23 @@ def test_continuous_samplers(parameterization):
         jax.tree.map(np.asarray, final), np.ones((2, 6), bool),
         cfg.atom_type_map, ctmc_mol=False)
     assert len(mols) == 2 and mols[0].num_atoms == 6
+
+
+@pytest.mark.parametrize("parameterization", ["endpoint", "vector-field"])
+def test_continuous_sampler_simplex_project(parameterization):
+    """Opt-in per-step simplex projection: states stay on the probability
+    simplex through integration (training only ever presents exact
+    interpolants, which live there; the reference integrates unprojected,
+    vector_field.py:625-645)."""
+    cfg = tiny_config(parameterization=parameterization)
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    node_mask = jnp.array([[True] * 6 + [False] * 2, [True] * 8])
+    fn = jax.jit(model.make_sample_fn(n_timesteps=6, simplex_project=True))
+    final = fn(params, jax.random.PRNGKey(2), node_mask)
+    for feat in ("a", "c"):
+        v = np.asarray(final[feat])
+        assert (v >= 0).all()
+        sums = v.sum(-1)[np.asarray(node_mask)]
+        np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+    assert np.isfinite(np.asarray(final["x"])).all()
