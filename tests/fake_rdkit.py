@@ -20,15 +20,19 @@ import numpy as np
 
 
 class FakeAtom:
-    def __init__(self, symbol: str, charge: int = 0):
+    def __init__(self, symbol: str, charge: int = 0, idx: int = 0):
         self._symbol = symbol
         self._charge = charge
+        self._idx = idx
 
     def GetSymbol(self) -> str:
         return self._symbol
 
     def GetFormalCharge(self) -> int:
         return self._charge
+
+    def GetIdx(self) -> int:
+        return self._idx
 
 
 class FakeConformer:
@@ -37,6 +41,9 @@ class FakeConformer:
 
     def GetPositions(self) -> np.ndarray:
         return self._pos
+
+    def GetAtomPosition(self, i: int) -> "Point3D":
+        return Point3D(*self._pos[i])
 
 
 class FakeMol:
@@ -55,15 +62,26 @@ class FakeMol:
         self.kekulized_adj = (None if kekulized_adj is None
                               else np.asarray(kekulized_adj, np.float64))
         self.smiles = smiles
+        self._props = {}
 
     def GetNumAtoms(self) -> int:
         return len(self.symbols)
 
     def GetAtoms(self) -> List[FakeAtom]:
-        return [FakeAtom(s, c) for s, c in zip(self.symbols, self.charges)]
+        return [FakeAtom(s, c, i)
+                for i, (s, c) in enumerate(zip(self.symbols, self.charges))]
 
     def GetConformer(self) -> FakeConformer:
         return FakeConformer(self.positions)
+
+    def SetProp(self, key: str, val: str):
+        self._props[key] = str(val)
+
+    def GetProp(self, key: str) -> str:
+        return self._props[key]
+
+    def HasProp(self, key: str) -> bool:
+        return key in self._props
 
 
 class MolSanitizeException(Exception):
@@ -142,6 +160,56 @@ def _adjacency_matrix(mol: FakeMol, useBO: bool = False):
     return mol.adj if useBO else (mol.adj > 0).astype(np.float64)
 
 
+def GetFormalCharge(mol: FakeMol) -> int:
+    return int(sum(mol.charges))
+
+
+# fixture molblock format (what the stub `xtb` binary in the tests emits):
+#   FAKEMOL <n>
+#   <symbol> <x> <y> <z>      (n lines; no bonds — xtbtopo parsing only
+#                              needs atoms+coords downstream)
+
+def MolFromMolBlock(block: str, sanitize: bool = True,
+                    removeHs: bool = False) -> Optional[FakeMol]:
+    lines = [l for l in block.strip().splitlines() if l.strip()]
+    if not lines or not lines[0].startswith("FAKEMOL"):
+        return None
+    n = int(lines[0].split()[1])
+    syms, pos = [], []
+    for line in lines[1:1 + n]:
+        parts = line.split()
+        syms.append(parts[0])
+        pos.append([float(v) for v in parts[1:4]])
+    return FakeMol(syms, np.asarray(pos), np.zeros((n, n)))
+
+
+def MolToMolBlock(mol: FakeMol, kekulize: bool = True) -> str:
+    rows = [f"FAKEMOL {mol.GetNumAtoms()}"]
+    for s, p in zip(mol.symbols, mol.positions):
+        rows.append(f"{s} {p[0]} {p[1]} {p[2]}")
+    return "\n".join(rows) + "\n"
+
+
+class SDWriter:
+    """Writes the fixture molblock format with $$$$ record separators and
+    mirrors every written molecule into `SDWriter.written[path]` so tests
+    can assert on content without a real SDF parser."""
+
+    written = {}
+
+    def __init__(self, path: str):
+        self._path = str(path)
+        self._f = open(self._path, "w")
+        SDWriter.written[self._path] = []
+
+    def write(self, mol: FakeMol):
+        self._f.write(MolToMolBlock(mol) + "$$$$\n")
+        SDWriter.written[self._path].append(mol)
+
+    def close(self):
+        self._f.close()
+
+
 class Point3D:
     def __init__(self, x=0.0, y=0.0, z=0.0):
         self.x, self.y, self.z = x, y, z
@@ -157,7 +225,8 @@ def install():
     rdmolops.GetAdjacencyMatrix = _adjacency_matrix
     for name in ("SanitizeMol", "Kekulize", "RemoveHs", "GetMolFrags",
                  "MolToSmiles", "SDMolSupplier", "MolSanitizeException",
-                 "KekulizeException"):
+                 "KekulizeException", "GetFormalCharge", "MolFromMolBlock",
+                 "MolToMolBlock", "SDWriter"):
         setattr(chem, name, globals()[name])
     chem.rdmolops = rdmolops
     geom.Point3D = Point3D

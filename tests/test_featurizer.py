@@ -262,3 +262,66 @@ def test_from_rdkit_mol_roundtrip(rdkit_fixture):
     finally:
         fake_rdkit.uninstall()
         importlib.reload(mb)
+
+
+# ------------------------------------------------- process_geom end-to-end
+
+def test_process_geom_end_to_end(rdkit_fixture, tmp_path, monkeypatch):
+    """Drive process_geom.py whole: MiDi-pickle flattening with the
+    confs_per_mol cap (parity: reference process_geom.py:187-199), chunked
+    featurization with the failure census, packed slabs, marginals,
+    histogram, smiles and valency outputs."""
+    import yaml
+
+    sys.path.insert(0, "/root/repo")
+    import process_geom
+
+    # MiDi format: list of (smiles, [conformer mols]); bare mols also occur
+    bad = water()
+    bad.symbols[0] = "N"  # element outside the atom map -> featurizer failure
+    raw = [("O", [water(), water()]),   # 2 conformers, capped to 1
+           ("C=C", [ethene()]),
+           water(),                      # bare-entry path
+           ("N", [bad])]
+    raw_path = tmp_path / "val_data.pickle"
+    with open(raw_path, "wb") as f:
+        pickle.dump(raw, f)
+
+    out = tmp_path / "processed_geom"
+    cfg = {"dataset": {"processed_data_dir": str(out), "atom_map": ATOM_MAP,
+                       "dataset_name": "geom", "confs_per_mol": 1},
+           "mol_fm": {"explicit_aromaticity": False}}
+    cfg_path = tmp_path / "geom.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.setattr(sys, "argv", [
+        "process_geom.py", str(raw_path), "--config", str(cfg_path),
+        "--split", "val", "--chunk_size", "2"])
+    process_geom.main()
+
+    from flowmol_tpu.data.dataset import PackedDataset
+    from flowmol_tpu.data.stats import MarginalDists, NAtomsDistribution
+
+    ds = PackedDataset(out / "val_data_processed.npz")
+    assert len(ds) == 3  # capped water + ethene + bare water; bad one failed
+    mol = ds.get_molecule(0)
+    assert (mol["adj"] == mol["adj"].T).all()
+
+    failures = json.loads((out / "val_failure_counts.json").read_text())
+    assert sum(failures.values()) == 1
+
+    hist = NAtomsDistribution.load(out / "val_data_n_atoms_histogram.npz")
+    szs = hist.sample(np.random.default_rng(0), 16)
+    assert ((szs == 3) | (szs == 6)).all()
+
+    marg = MarginalDists.load(out / "val_data_marginal_dists.npz")
+    assert marg.p_a.shape == (len(ATOM_MAP),)
+    assert abs(marg.p_a.sum() - 1.0) < 1e-5
+
+    with open(out / "val_data_smiles.pkl", "rb") as f:
+        smiles = pickle.load(f)
+    assert "O" in smiles and "C=C" in smiles and None in smiles
+
+    table = json.loads(
+        (out / "val_data_valencies_kekulized.json").read_text())
+    assert table  # non-empty (element, charge) -> valency sets

@@ -222,3 +222,96 @@ def test_reos_flag_matrix_and_header_sorted():
 
     df = build_reos_df(flags, reos.flag_arr_header)
     assert df.loc["Dundee::bad thing", "flag_rate"] == 0.5
+
+
+# ------------------------------------------- xtb subprocess driver (stubbed)
+
+STUB_XTB = r'''#!/bin/sh
+# stub GFN2-xTB: parses --namespace, fails for namespace m1, otherwise
+# writes <ns>.xtbtopo.mol in cwd and prints an ANCopt convergence summary
+ns=""
+prev=""
+for a in "$@"; do
+  if [ "$prev" = "--namespace" ]; then ns="$a"; fi
+  prev="$a"
+done
+if [ "$ns" = "m1" ]; then
+  echo "stub xtb: SCC did not converge" >&2
+  exit 1
+fi
+cat > "$ns.xtbtopo.mol" <<TOPO
+FAKEMOL 3
+O 0.0 0.0 0.1
+H 0.9 0.0 0.0
+H -0.2 0.9 0.0
+TOPO
+echo ":: total energy gain   -0.0123456 Eh   -7.7478 kcal/mol ::"
+echo ":: total RMSD           0.1234567 a0    0.0653 A ::"
+'''
+
+
+def test_xtb_optimization_stub_binary(tmp_path, monkeypatch):
+    """Execute the FULL xtb subprocess loop (tempdir, shell redirection,
+    namespace files, per-molecule crash tolerance, finally-block partial
+    writes) against a stub `xtb` on PATH — the reference behavior at
+    /root/reference/fm3_evals/geometry/xtb_optimization.py:84-113,159-163
+    had never actually run before this test."""
+    import importlib
+    import os
+    import pickle
+
+    from . import fake_rdkit
+
+    fake_rdkit.install()
+    try:
+        import xtb_optimization
+        xo = importlib.reload(xtb_optimization)  # rebind Chem to the fake
+
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        stub = bindir / "xtb"
+        stub.write_text(STUB_XTB)
+        stub.chmod(0o755)
+        monkeypatch.setenv("PATH",
+                           f"{bindir}:{os.environ.get('PATH', '')}")
+
+        water = fake_rdkit.FakeMol(
+            ["O", "H", "H"],
+            [[0.0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]],
+            np.zeros((3, 3)), smiles="O")
+        crasher = fake_rdkit.FakeMol(["C"], [[0.0, 0, 0]],
+                                     np.zeros((1, 1)), smiles="C")
+        fake_rdkit.set_sdf_molecules([water, crasher, None, water])
+
+        sdf = tmp_path / "samples.sdf"
+        sdf.write_text("(ignored by fake supplier)")
+        out_dir = tmp_path / "xtb_out"
+        monkeypatch.setattr(sys, "argv", [
+            "xtb_optimization.py", "--input", str(sdf),
+            "--output_dir", str(out_dir)])
+        xo.main()
+
+        with open(out_dir / "pairs.pkl", "rb") as f:
+            pairs = pickle.load(f)
+        # None entry skipped; crasher (idx 1 -> namespace m1) tolerated
+        assert len(pairs) == 3
+        ok0, opt0 = pairs[0]
+        assert opt0 is not None
+        assert opt0.GetProp("energy_gain") == "-7.7478"
+        assert opt0.GetProp("xtb_rmsd") == "0.0653"
+        assert opt0.GetNumAtoms() == 3
+        _, opt1 = pairs[1]
+        assert opt1 is None  # crash-tolerated molecule
+        _, opt3 = pairs[2]
+        assert opt3 is not None
+
+        # SDF outputs written through the finally block
+        init_written = fake_rdkit.SDWriter.written[str(out_dir / "init.sdf")]
+        opt_written = fake_rdkit.SDWriter.written[
+            str(out_dir / "optimized.sdf")]
+        # the crash-tolerated molecule lands in pairs.pkl but not in the
+        # SDF outputs (the driver `continue`s before the writes)
+        assert len(init_written) == 2
+        assert len(opt_written) == 2
+    finally:
+        fake_rdkit.uninstall()
