@@ -7,7 +7,12 @@ permits for any parameterization (flowmol.py:190-193), but its
 EndpointVectorField cannot actually run it: sample_conditional_path would
 shape-mismatch the (K+1)-dim ctmc prior against the K-dim one-hot target
 (vector_field.py:576-590).  Here the combination is implemented to
-completion and is the recommended endpoint recipe.
+completion — as a masked discrete flow on the (K+1)-simplex — and is
+oracle-verified below; it ships as EXPERIMENTAL (no trained artifact clears
+a quality bar; see FlowMolConfig.cat_prior_masked for why the naive linear
+path cannot learn and what the implementation does instead).  For production
+endpoint-parameterization models use the simplex priors
+(configs/qm9_endpoint_v3.yml); for masked flows use ctmc.
 """
 
 import dataclasses
