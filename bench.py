@@ -5,48 +5,62 @@ from BASELINE.md), measured with the flowmol3 architecture.
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Reported fields (VERDICT r1 item 1 — make the number about the chip, not the
-tunnel):
-  * value                    — overlapped mols/s/chip: pipelined dispatch via
-                               `bucketed_sample` (device compute, device→host
-                               transfer and host work overlap)
-  * device_mols_per_sec      — device-only throughput: repeated back-to-back
-                               dispatches per bucket, one final materialize;
-                               isolates chip compute from the transfer link
+Reported fields (round-3: the headline is the PACKED sampler — multiple
+molecules per padded row, block-diagonal pair masks — which turns the
+reference protocol's fragmented dispatch into a few large ones):
+  * value                    — packed mols/s/chip on the reference protocol
+                               (n=100 drawn from the GEOM histogram, 250
+                               steps, /root/reference/test.py:23-30)
+  * bucketed_mols_per_sec    — the round-2 per-size-bucket path on the same
+                               draw, for continuity
+  * device_mols_per_sec      — packed dispatches repeated back-to-back,
+                               one final materialize: isolates chip compute
+                               from the tunnel/transfer link
   * sampler_mfu_pct          — achieved FLOP/s from XLA cost analysis of the
-                               compiled sampler vs the chip's peak
-  * qm9_train_samples_per_sec_per_chip — flagship-arch train step with the
-                               real input pipeline (BucketBatcher + host OT
-                               coupling) in the loop
+                               compiled packed sampler vs the chip's peak
+  * qm9_train_samples_per_sec_per_chip — flagship qm9 arch train steps
+                               through the PRODUCTION input pipeline
+                               (MoleculeDataModule.iter_split: BucketBatcher
+                               edge-budget batches, host OT coupling,
+                               threaded prefetch)
 
-Sampling throughput is weight-independent (the compute graph is identical for
-random or trained weights), so this benchmarks the production sampling path —
-the 250-step lax.scan CTMC integrator over the full flowmol3 network — with
-molecule sizes drawn from the real GEOM-drugs n-atoms histogram (which spans
-the largest bucket: sizes up to 181 → bucket 184).
+Sampling throughput is weight-independent (the compute graph is identical
+for random or trained weights), so this benchmarks the production sampling
+path — the 250-step lax.scan CTMC integrator over the full flowmol3 network.
 
-`vs_baseline`: the reference repo publishes no numbers (BASELINE.md); we pin
-an assumed A100/PyTorch reference of 1.0 mol/s for 250-step GEOM sampling at
-batch 128 (the reference's own default protocol, test.py:23-30) so the ratio
-is traceable; revise when a measured reference number exists.
+`vs_baseline` is an ANALYTIC bound, not a measurement (no GPU exists here,
+and the reference stack cannot run in this image — no DGL): the reference's
+useful FLOPs for the same draw are estimated as our XLA-counted FLOPs scaled
+by the valid-pair fraction of the packed layout (the reference computes no
+padding: DGL edge lists are exact, and its molecular graphs are complete
+graphs like ours — flowmol/utils/build_mols.py edge construction), divided
+by A100 peak over a stated MFU range.  DGL scatter/gather message passing is
+bandwidth-bound; published MFU for such workloads is low single digits, so
+the range is [1%, 10%] of A100 TF32 peak (156 TFLOP/s).  `vs_baseline`
+compares against the FASTEST end of that range (10% MFU — generous to the
+reference); `vs_baseline_range` gives both ends.  All constants are emitted
+in the JSON so nothing is an unlabeled assumption.
 """
 
 import json
+import os
 import time
 
-ASSUMED_A100_REFERENCE_MOLS_PER_SEC = 1.0
-
 # TPU v5e (v5 lite) MXU peak: 197 TFLOP/s bf16 / 98.5 TFLOP/s fp32.
-# The sampler runs fp32 matmuls (compute_dtype float32 in configs/flowmol3.yml)
-# unless the config says bfloat16.
 PEAK_FLOPS = {"float32": 98.5e12, "bfloat16": 197e12}
 
+# A100 dense peak used for the analytic reference bound (NVIDIA datasheet):
+# TF32 156 TFLOP/s (torch matmuls in fp32 run TF32 by default on A100).
+A100_TF32_PEAK = 156e12
+# assumed achievable MFU range for the reference's DGL/torch scatter-gather
+# pipeline on A100 (bandwidth-bound message passing; generous upper end)
+REF_MFU_RANGE = (0.01, 0.10)
 
-def _sampler_flops(fn, params, node_mask):
-    """Total FLOPs of one compiled sampler invocation (XLA cost analysis)."""
+
+def _flops_of(fn, *args):
+    """FLOPs of one compiled invocation (XLA cost analysis), or None."""
     try:
-        compiled = fn.lower(params, __import__("jax").random.PRNGKey(0),
-                            node_mask).compile()
+        compiled = fn.lower(*args).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -57,21 +71,17 @@ def _sampler_flops(fn, params, node_mask):
 
 def main():
     import jax
-
-    # (persistent XLA compilation cache is configured at package import —
-    # flowmol_tpu/__init__.py — so the ~10 per-bucket programs compile once
-    # across bench invocations)
     import jax.numpy as jnp
     import numpy as np
 
-    from flowmol_tpu.api import (SAMPLING_BUCKETS, bucketed_sample,
-                                 model_from_config, read_config_file)
+    from flowmol_tpu.api import (bucketed_sample, model_from_config,
+                                 pack_sizes, packed_dispatch_plan,
+                                 packed_sample, read_config_file)
     from flowmol_tpu.data.stats import NAtomsDistribution
 
     config = read_config_file("configs/flowmol3.yml")
     model = model_from_config(config)
     params = model.init_params(jax.random.PRNGKey(0))
-    # the model's ACTUAL compute dtype (VectorFieldConfig defaults bfloat16)
     compute_dtype = str(model.cfg.vf.compute_dtype or "float32")
     peak = PEAK_FLOPS.get(compute_dtype, PEAK_FLOPS["float32"])
 
@@ -79,66 +89,103 @@ def main():
         "assets/data/geom_full_kekulized/train_data_n_atoms_histogram.npz")
     rng = np.random.default_rng(0)
 
-    n_mols = 100  # the reference protocol (test.py:23-30): n=100, 250 steps
-    n_timesteps = 250
+    # the reference protocol (test.py:23-30): n=100, 250 steps.  The env
+    # overrides exist so the bench *code path* can be smoke-tested cheaply
+    # (tiny draw, few steps) without waiting for full compiles.
+    n_mols = int(os.environ.get("FLOWMOL_BENCH_NMOLS", 100))
+    n_timesteps = int(os.environ.get("FLOWMOL_BENCH_STEPS", 250))
     sizes = hist.sample(rng, n_mols)
     # the perf story must cover the O(N^2) top of the GEOM range (VERDICT r1
-    # item 4): force at least two molecules into a bucket >= 128
+    # item 4): force at least two molecules into the large-size tail
     if not (sizes >= 128).any():
         sizes[:2] = (150, 181)
 
+    # ---- headline: packed sampling (multi-molecule rows) ------------------
     cache = {}
-    # compile + warmup (excluded from timing)
-    bucketed_sample(model, params, sizes, seed=1, n_timesteps=n_timesteps,
-                    sample_fn_cache=cache)
+    packed_sample(model, params, sizes, seed=1, n_timesteps=n_timesteps,
+                  sample_fn_cache=cache)  # compile + warmup
+    t0 = time.time()
+    out = packed_sample(model, params, sizes, seed=2, n_timesteps=n_timesteps,
+                        sample_fn_cache=cache)
+    dt_packed = time.time() - t0
+    assert len(out) == n_mols and all(o is not None for o in out)
+    packed_mols_per_sec = n_mols / dt_packed
 
+    # ---- round-2 comparison: per-size-bucket path --------------------------
+    bcache = {}
+    bucketed_sample(model, params, sizes, seed=1, n_timesteps=n_timesteps,
+                    sample_fn_cache=bcache)
     t0 = time.time()
     results = bucketed_sample(model, params, sizes, seed=2,
-                              n_timesteps=n_timesteps, sample_fn_cache=cache)
-    dt = time.time() - t0
+                              n_timesteps=n_timesteps, sample_fn_cache=bcache)
+    dt_bucketed = time.time() - t0
     assert sum(nm.shape[0] for _, nm, _ in results) == n_mols
-    mols_per_sec = n_mols / dt
+    bucketed_mols_per_sec = n_mols / dt_bucketed
 
-    # ---- device-only throughput + MFU ------------------------------------
-    # dispatch each bucket batch back-to-back REPS times, materialize one
-    # scalar at the very end: the device executes continuously, so wall-clock
-    # ≈ pure device time (dispatch RTT and transfers hide behind compute)
-    groups = {}
-    for s in sizes:
-        b = next((x for x in SAMPLING_BUCKETS if s <= x), int(np.ceil(s / 8) * 8))
-        groups.setdefault(b, []).append(int(s))
+    # ---- device-only throughput + MFU (packed dispatches) -----------------
+    # (molecules the planner routes through the oversized/bucket path are
+    # excluded here — they're covered by the wall-clock headline above)
+    cap, rows, oversized = pack_sizes(sizes)
+    plan = list(packed_dispatch_plan(rows, cap, 128, 1))
+    mols_in_plan = sum(len(r) for r in rows)
+    packed_sizes_arr = np.asarray(
+        [s for row in rows for _, s in row], np.int64)
     REPS = 3
     total_flops = 0.0
     flops_known = True
-    batches = []
-    for n_pad, szs in sorted(groups.items()):
-        node_mask = jnp.asarray(
-            np.arange(n_pad)[None, :] < np.asarray(szs)[:, None])
-        fn = cache[(len(szs), n_pad, 1, None)]
-        fl = _sampler_flops(fn, params, node_mask)
+    dispatches = []
+    for gids, cap_i, _ in plan:
+        key = ("packed", gids.shape[0], cap_i, 1, None)
+        fn = cache[key]
+        g_dev = jnp.asarray(gids)
+        fl = _flops_of(fn, params, jax.random.PRNGKey(0), g_dev)
         if fl is None:
             flops_known = False
         else:
             total_flops += fl
-        batches.append((fn, node_mask))
+        dispatches.append((fn, g_dev))
     t0 = time.time()
     outs = []
     for rep in range(REPS):
-        for i, (fn, node_mask) in enumerate(batches):
+        for i, (fn, g_dev) in enumerate(dispatches):
             outs.append(fn(params, jax.random.PRNGKey(100 + rep * 31 + i),
-                           node_mask))
-    # force completion of everything (block_until_ready is unreliable over
-    # the axon tunnel; np.asarray of each last output forces the queue)
-    for out in outs[-len(batches):]:
-        jax.tree.map(np.asarray, out)
+                           g_dev))
+    # force completion (block_until_ready is unreliable over the axon tunnel)
+    for o in outs[-len(dispatches):]:
+        jax.tree.map(np.asarray, o)
     dt_dev = time.time() - t0
-    device_mols_per_sec = REPS * n_mols / dt_dev
+    device_mols_per_sec = REPS * mols_in_plan / dt_dev
     mfu_pct = (round(100.0 * REPS * total_flops / dt_dev / peak, 2)
                if flops_known and total_flops else None)
 
-    # saturated-batch serving throughput: QM9-sized molecules, one full
-    # bucket-32 batch of 128 (the probe-measured optimum for small buckets) —
-    # the number a production sampling service sees, vs the n=100 protocol
+    # ---- analytic A100 reference bound -------------------------------------
+    # useful-work fraction of the packed layout: valid (same-molecule) pairs
+    # over padded pairs — the reference's DGL edge lists compute exactly the
+    # valid pairs, no padding
+    padded_pairs = sum(g.shape[0] * c * c for g, c, _ in plan)
+    valid_pairs = float(np.sum(packed_sizes_arr ** 2))
+    valid_ratio = valid_pairs / padded_pairs
+    if flops_known and total_flops:
+        ref_flops = total_flops * valid_ratio  # for the packed molecules
+        baseline_lo = mols_in_plan / (ref_flops
+                                      / (A100_TF32_PEAK * REF_MFU_RANGE[0]))
+        baseline_hi = mols_in_plan / (ref_flops
+                                      / (A100_TF32_PEAK * REF_MFU_RANGE[1]))
+        vs_baseline = round(packed_mols_per_sec / baseline_hi, 4)
+        vs_baseline_range = [round(packed_mols_per_sec / baseline_hi, 2),
+                             round(packed_mols_per_sec / baseline_lo, 2)]
+        baseline_note = (
+            "analytic bound: ref useful FLOPs = ours x valid-pair fraction "
+            f"({valid_ratio:.3f}); A100 TF32 peak {A100_TF32_PEAK:.3g} at "
+            f"{REF_MFU_RANGE[0]:.0%}-{REF_MFU_RANGE[1]:.0%} MFU; "
+            "vs_baseline uses the 10% (fast-reference) end")
+    else:
+        baseline_lo = baseline_hi = None
+        vs_baseline = None
+        vs_baseline_range = None
+        baseline_note = "cost analysis unavailable on this backend"
+
+    # ---- saturated-batch serving throughput --------------------------------
     qm9_hist = NAtomsDistribution.load(
         "assets/data/qm9/train_data_n_atoms_histogram.npz")
     qsizes = np.clip(qm9_hist.sample(rng, 128), 2, 32)
@@ -150,104 +197,133 @@ def main():
     jax.tree.map(np.asarray, outs[-1])
     sat_mols_per_sec = 3 * 128 / (time.time() - t0)
 
-    train_sps, train_mfu = _bench_train_throughput()
+    train_sps, train_mfu, train_split = _bench_train_throughput()
 
     print(json.dumps({
         "metric": "geom_sampling_mols_per_sec_per_chip",
-        "value": round(mols_per_sec, 4),
-        "unit": "molecules/sec/chip (250-step CTMC sampling, flowmol3 arch)",
-        "vs_baseline": round(mols_per_sec / ASSUMED_A100_REFERENCE_MOLS_PER_SEC, 4),
+        "value": round(packed_mols_per_sec, 4),
+        "unit": "molecules/sec/chip (250-step CTMC sampling, flowmol3 arch, "
+                "packed rows)",
+        "vs_baseline": vs_baseline,
+        "vs_baseline_range": vs_baseline_range,
+        "vs_baseline_note": baseline_note,
+        "baseline_mols_per_sec_range": ([round(baseline_lo, 3),
+                                         round(baseline_hi, 3)]
+                                        if baseline_lo else None),
+        "bucketed_mols_per_sec": round(bucketed_mols_per_sec, 4),
         "device_mols_per_sec": round(device_mols_per_sec, 4),
         "sampler_mfu_pct": mfu_pct,
         "compute_dtype": compute_dtype,
         "n_mols": n_mols,
         "n_timesteps": n_timesteps,
-        "buckets": {str(k): len(v) for k, v in sorted(groups.items())},
-        "wall_s": round(dt, 3),
+        "pack_capacity": cap,
+        "packed_dispatches": [list(g.shape) for g, _, _ in plan],
+        "mols_packed": mols_in_plan,
+        "mols_oversized": len(oversized),
+        "valid_pair_fraction": round(valid_ratio, 4),
+        "wall_s": round(dt_packed, 3),
+        "bucketed_wall_s": round(dt_bucketed, 3),
         "device_wall_s": round(dt_dev, 3),
         "qm9_sampling_mols_per_sec_saturated": round(sat_mols_per_sec, 2),
         "qm9_train_samples_per_sec_per_chip": train_sps,
         "train_step_mfu_pct": train_mfu,
+        "train_host_device_split": train_split,
     }))
 
 
 def _bench_train_throughput(n_steps: int = 30):
-    """Secondary north-star: QM9-scale train samples/sec/chip, measured on
-    the flagship qm9 arch (configs/qm9_ctmc_big.yml) with the REAL input
-    pipeline in the loop — BucketBatcher edge-budget batches, host-side OT
-    prior coupling, threaded prefetch — not a repeated pre-built batch."""
+    """Secondary north-star: QM9-scale train samples/sec/chip on the flagship
+    qm9 arch (configs/qm9_ctmc_big.yml) through the PRODUCTION input
+    pipeline: MoleculeDataModule.iter_split — PackedDataset slab reads,
+    BucketBatcher edge-budget batches, host-side OT prior coupling, threaded
+    prefetch — exactly what train_utils/loop.py::Trainer.fit consumes.
+
+    Returns (samples_per_sec, mfu_pct, host_device_split) where the split
+    reports device-only step time vs the full pipeline wall share."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from flowmol_tpu.api import (lr_config_from_config, model_from_config,
+    from flowmol_tpu.api import (data_module_from_config, model_from_config,
                                  read_config_file)
-    from flowmol_tpu.data.dataset import DataConfig, pad_batch, prepare_molecule
-    from flowmol_tpu.data.synthetic import generate_molecule
     from flowmol_tpu.train_utils.optim import LRScheduleConfig
     from flowmol_tpu.train_utils.step import create_train_state, make_train_step
 
     config = read_config_file("configs/qm9_ctmc_big.yml")
+    # the config's processed_data_dir is machine-local; fall back to any
+    # synthetic qm9 dataset present (regenerate with
+    # tools/make_synthetic_data.py if none exists)
+    for cand in (config["dataset"]["processed_data_dir"],
+                 "data/synthetic_qm9_20k", "data/synthetic_qm9"):
+        if os.path.isdir(cand):
+            config["dataset"]["processed_data_dir"] = cand
+            break
+    else:
+        import subprocess
+        subprocess.run(["python", "tools/make_synthetic_data.py", "--out",
+                        "data/synthetic_qm9", "--n", "2000"], check=True)
+        config["dataset"]["processed_data_dir"] = "data/synthetic_qm9"
+    config["dataset"]["dataset_size"] = None
+
     model = model_from_config(config)
-    cfg = model.cfg
     lr_cfg = LRScheduleConfig()
     state, tx = create_train_state(model, jax.random.PRNGKey(0), lr_cfg, 0.999)
     step = jax.jit(make_train_step(model, tx, lr_cfg, 0.999))
 
-    rng = np.random.default_rng(0)
-    prior_cfg = (config["mol_fm"]["prior_config"])
-    dc = DataConfig(prior_config=prior_cfg, n_atom_types=cfg.n_atom_types,
-                    n_bond_types=cfg.n_bond_types,
-                    fake_atom_p=cfg.fake_atom_p,
-                    fake_atom_std=cfg.fake_atom_std, is_ctmc=cfg.is_ctmc)
-    # qm9-sized synthetic molecules (9 heavy + H, up to ~29 total atoms)
-    base_mols = []
-    for _ in range(256):
-        x, a, c, bonds, bts = generate_molecule(
-            rng, int(rng.integers(12, 30)), len(cfg.atom_type_map))
-        adj = np.zeros((x.shape[0], x.shape[0]), np.int32)
-        adj[bonds[:, 0], bonds[:, 1]] = bts
-        base_mols.append({"x": x, "a": a, "c": c,
-                          "adj": np.maximum(adj, adj.T)})
+    dm = data_module_from_config(config)
+    np_rng = np.random.default_rng(0)
 
-    # the generator may exceed the requested size by a few H's when
-    # saturating the skeleton — pad with headroom
-    N_PAD, B = 40, 48
-    base_mols = [m for m in base_mols if m["x"].shape[0] <= N_PAD]
+    def batches():
+        while True:
+            yield from dm.iter_split("train", np_rng)
 
-    def make_batch():
-        picks = rng.choice(len(base_mols), B)
-        return jax.tree.map(jnp.asarray, pad_batch(
-            [prepare_molecule(rng, base_mols[i], dc) for i in picks], N_PAD))
+    it = batches()
 
-    # warmup/compile
-    batch = make_batch()
-    st, m = step(state, batch, jax.random.PRNGKey(1), jnp.asarray(0.0))
+    # warmup: compile every bucket shape the batcher emits (one epoch of
+    # shapes is enough; qm9 sizes span few buckets)
+    seen = set()
+    first = None
+    for tb in dm.iter_split("train", np_rng):
+        shape = tb.node_mask.shape
+        if shape in seen:
+            continue
+        seen.add(shape)
+        tb_dev = jax.tree.map(jnp.asarray, tb)
+        state, m = step(state, tb_dev, jax.random.PRNGKey(1), jnp.asarray(0.0))
+        if first is None:
+            first = tb_dev
+        if len(seen) >= 6:
+            break
     float(np.asarray(m["total_train_loss"]))
 
-    step_flops = None
-    try:
-        compiled = step.lower(state, batch, jax.random.PRNGKey(1),
-                              jnp.asarray(0.0)).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        step_flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    step_flops = _flops_of(step, state, first, jax.random.PRNGKey(1),
+                           jnp.asarray(0.0))
 
-    # steady state: host prep (OT coupling + padding) overlaps device compute
-    # because dispatch is async — matching the production train loop
+    # device-only: repeat one resident batch back-to-back
     t0 = time.time()
+    st = state
+    for i in range(10):
+        st, m = step(st, first, jax.random.PRNGKey(2 + i), jnp.asarray(0.0))
+    float(np.asarray(m["total_train_loss"]))
+    dt_dev_per_step = (time.time() - t0) / 10
+
+    # production pipeline: fresh batches through iter_split (prefetch inside)
+    t0 = time.time()
+    n_samples = 0
+    st = state
     for i in range(n_steps):
-        st, m = step(st, make_batch(), jax.random.PRNGKey(2 + i),
-                     jnp.asarray(0.0))
+        tb = next(it)
+        n_samples += tb.node_mask.shape[0]
+        st, m = step(st, jax.tree.map(jnp.asarray, tb),
+                     jax.random.PRNGKey(100 + i), jnp.asarray(0.0))
     float(np.asarray(m["total_train_loss"]))  # sync
     dt = time.time() - t0
-    sps = round(n_steps * B / dt, 2)
-    mfu = (round(100.0 * step_flops * n_steps / dt / PEAK_FLOPS["float32"], 2)
-           if step_flops else None)
-    return sps, mfu
+    sps = round(n_samples / dt, 2)
+    mfu = (round(100.0 * step_flops / max(dt / n_steps, 1e-9)
+                 / PEAK_FLOPS["float32"], 2) if step_flops else None)
+    split = {"device_only_ms_per_step": round(dt_dev_per_step * 1e3, 1),
+             "pipeline_ms_per_step": round(dt / n_steps * 1e3, 1)}
+    return sps, mfu, split
 
 
 if __name__ == "__main__":
