@@ -297,7 +297,7 @@ def packed_dispatch_plan(rows, cap: int, max_batch_size: int, n_dev: int = 1):
 def packed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
                   n_timesteps: Optional[int] = None,
                   max_batch_size: int = 128,
-                  capacities=PACK_CAPACITIES,
+                  capacities=PACK_CAPACITIES, buckets=SAMPLING_BUCKETS,
                   sample_fn_cache: Optional[dict] = None, mesh=None,
                   **knobs):
     """Sample molecules of the given sizes with multi-molecule row packing.
@@ -384,10 +384,10 @@ def packed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
         bucket_results = bucketed_sample(
             model, params, o_sizes, seed=seed + 104729,
             n_timesteps=n_timesteps, max_batch_size=max_batch_size,
-            sample_fn_cache=fns, mesh=mesh, **knobs)
+            buckets=buckets, sample_fn_cache=fns, mesh=mesh, **knobs)
         # bucketed_sample returns per-job batches in (sorted bucket,
         # encounter) order over the o_sizes sequence
-        perm = np.argsort([next((b for b in SAMPLING_BUCKETS if s <= b),
+        perm = np.argsort([next((b for b in buckets if s <= b),
                                 int(np.ceil(s / 8) * 8)) for s in o_sizes],
                           kind="stable")
         flat_pos = 0
