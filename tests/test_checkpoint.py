@@ -11,6 +11,10 @@ from flowmol_tpu.train_utils.optim import LRScheduleConfig, lr_at
 from flowmol_tpu.train_utils.step import create_train_state
 from tests.helpers import tiny_config
 
+# compile-heavy: excluded from the fast gate (pyproject test tiers)
+pytestmark = pytest.mark.heavy
+
+
 
 def test_state_roundtrip(tmp_path):
     from flowmol_tpu.model import FlowMol

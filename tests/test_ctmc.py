@@ -8,6 +8,10 @@ import pytest
 
 from flowmol_tpu.fm import ctmc
 
+# compile-heavy: excluded from the fast gate (pyproject test tiers)
+pytestmark = pytest.mark.heavy
+
+
 
 def test_mask_tokens_rate():
     """Tokens are masked with probability 1 - alpha per graph."""

@@ -12,9 +12,13 @@ dirflow.py:18-33), independently of any trained network.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flowmol_tpu.fm.dirichlet import (DirichletConditionalFlow,
                                       dirichlet_marginal_step)
+
+# compile-heavy: excluded from the fast gate (pyproject test tiers)
+pytestmark = pytest.mark.heavy
 
 
 def test_oracle_endpoint_transports_prior_to_target():

@@ -17,8 +17,10 @@ from flowmol_tpu.parallel import mesh as pmesh
 from flowmol_tpu.parallel.pairshard import constrain_pairs, pair_sharding
 from tests.helpers import tiny_config
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 (faked) devices")
+# compile-heavy mesh jits: excluded from the fast gate (pyproject tiers)
+pytestmark = [pytest.mark.heavy,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 (faked) devices")]
 
 
 def _forward_inputs(cfg, B=2, N=16, seed=0):

@@ -23,6 +23,10 @@ from flowmol_tpu.train_utils.step import create_train_state, make_train_step
 
 from .helpers import tiny_config
 
+# compile-heavy: excluded from the fast gate (pyproject test tiers)
+pytestmark = pytest.mark.heavy
+
+
 CTMC_PRIOR = {
     "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
     "a": {"align": False, "type": "ctmc", "kwargs": {}},

@@ -25,6 +25,10 @@ import pytest
 from flowmol_tpu.model import FlowMol
 from tests.helpers import random_batch, tiny_config
 
+# compile-heavy: excluded from the fast gate (pyproject test tiers)
+pytestmark = pytest.mark.heavy
+
+
 MASKED_PRIOR = {
     "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
     "a": {"align": False, "type": "ctmc", "kwargs": {}},

@@ -10,6 +10,10 @@ from flowmol_tpu.fm import ctmc
 from flowmol_tpu.model import FlowMol
 from tests.helpers import random_batch, tiny_config
 
+# compile-heavy: excluded from the fast gate (pyproject test tiers)
+pytestmark = pytest.mark.heavy
+
+
 
 @pytest.mark.parametrize("parameterization", ["ctmc", "endpoint", "vector-field",
                                               "dirichlet"])

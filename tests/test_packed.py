@@ -21,6 +21,10 @@ from flowmol_tpu.graphs import node_mask_to_pair_mask, remove_com
 from flowmol_tpu.model import FlowMol
 from tests.helpers import tiny_config
 
+# compile-heavy: excluded from the fast gate (pyproject test tiers)
+pytestmark = pytest.mark.heavy
+
+
 # ---------------------------------------------------------------------------
 # planner
 # ---------------------------------------------------------------------------

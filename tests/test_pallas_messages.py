@@ -15,6 +15,9 @@ from flowmol_tpu.ops import pallas_messages
 from flowmol_tpu.ops.pair_messages import (MessageStackSpec, init_weights,
                                            xla_message_agg)
 
+# compile-heavy: excluded from the fast gate (pyproject test tiers)
+pytestmark = pytest.mark.heavy
+
 
 def _setup(ncp=2, dst=True, B=2, N=32, s_msg=16, v_msg=4, de=8):
     dims = ((1 + v_msg + (2 if dst else 0), 6, 0, s_msg),

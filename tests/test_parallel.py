@@ -12,8 +12,10 @@ from flowmol_tpu.train_utils.optim import LRScheduleConfig
 from flowmol_tpu.train_utils.step import create_train_state, make_train_step
 from tests.helpers import random_batch, tiny_config
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 (faked) devices")
+# compile-heavy mesh jits: excluded from the fast gate (pyproject tiers)
+pytestmark = [pytest.mark.heavy,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 (faked) devices")]
 
 
 def test_sharded_train_step_matches_single_device():
