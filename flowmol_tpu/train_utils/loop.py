@@ -29,6 +29,25 @@ from flowmol_tpu.train_utils.step import (TrainState, create_train_state,
                                           make_eval_step, make_train_step)
 
 
+def load_weight_ae_marginals(cfg, processed_data_dir):
+    """CE class weights for `weight_ae`: the reference builds a/e
+    cross-entropy weights (1 - marginal p) from the dataset's marginal
+    dists (flowmol.py:208-211, loaded from marginal_dists_file).  Returns
+    (p_a, p_e) device arrays, or (None, None) when weight_ae is off."""
+    if not cfg.weight_ae or processed_data_dir is None:
+        return None, None
+    from flowmol_tpu.data.stats import MarginalDists
+    md = MarginalDists.load(
+        Path(processed_data_dir) / "train_data_marginal_dists.npz")
+    p_a, p_e = md.p_a, md.p_e
+    if cfg.fake_atom_p > 0:
+        # the fake-atom class sits past the real atom types; give it
+        # marginal 0 => CE weight 1 (the reference never combines
+        # weight_ae with fake atoms, so this is the natural extension)
+        p_a = np.concatenate([p_a, np.zeros((1,), p_a.dtype)])
+    return jnp.asarray(p_a), jnp.asarray(p_e)
+
+
 class Trainer:
     def __init__(self, model: FlowMol, data: MoleculeDataModule,
                  run_dir, lr_cfg: LRScheduleConfig,
@@ -63,8 +82,10 @@ class Trainer:
 
         self.state, self.tx = create_train_state(
             model, jax.random.PRNGKey(seed), lr_cfg, ema_decay)
-        train_step = make_train_step(model, self.tx, lr_cfg, ema_decay)
-        eval_step = make_eval_step(model)
+        p_a, p_e = load_weight_ae_marginals(model.cfg, processed_data_dir)
+        train_step = make_train_step(model, self.tx, lr_cfg, ema_decay,
+                                     p_a=p_a, p_e=p_e)
+        eval_step = make_eval_step(model, p_a=p_a, p_e=p_e)
 
         self.is_primary = jax.process_index() == 0
         self._local_rows = None  # (host, n_hosts) when multi-process

@@ -225,3 +225,53 @@ def test_continuous_sampler_simplex_project(parameterization):
         sums = v.sum(-1)[np.asarray(node_mask)]
         np.testing.assert_allclose(sums, 1.0, atol=1e-5)
     assert np.isfinite(np.asarray(final["x"])).all()
+
+
+def test_weight_ae_class_weights_change_the_loss():
+    """weight_ae: a/e CE weighted by (1 - marginal p) (flowmol.py:208-211).
+    A p_e that is nearly all 'none' bonds must downweight none-class CE and
+    so change the e loss; c stays untouched."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config(parameterization="endpoint"),
+                              weight_ae=True)
+    model = FlowMol(cfg)
+    batch = random_batch(B=2, N=8, cfg=cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    p_a = jnp.asarray(np.full(cfg.n_atom_types, 1.0 / cfg.n_atom_types))
+    p_e = jnp.asarray([0.9, 0.05, 0.03, 0.02])
+    _, unweighted = model.loss_fn(params, batch, jax.random.PRNGKey(1))
+    _, weighted = model.loss_fn(params, batch, jax.random.PRNGKey(1),
+                                p_a=p_a, p_e=p_e)
+    assert float(weighted["e"]) != pytest.approx(float(unweighted["e"]))
+    assert float(weighted["c"]) == pytest.approx(float(unweighted["c"]))
+    # uniform p_a weights all classes (1 - 1/K) equally: scales a by a constant
+    ratio = float(weighted["a"]) / float(unweighted["a"])
+    assert ratio == pytest.approx(1.0 - 1.0 / cfg.n_atom_types, rel=1e-5)
+
+
+def test_load_weight_ae_marginals(tmp_path):
+    """Trainer wiring: marginals load from the processed dir, fake-atom class
+    padded with weight-1 (marginal 0)."""
+    import dataclasses
+    from flowmol_tpu.data.stats import MarginalDists
+    from flowmol_tpu.train_utils.loop import load_weight_ae_marginals
+
+    md = MarginalDists(p_a=np.asarray([0.5, 0.2, 0.1, 0.1, 0.1]),
+                       p_c=np.full(6, 1 / 6), p_e=np.asarray([0.8, 0.1, 0.06, 0.04]),
+                       p_c_given_a=np.full((5, 6), 1 / 6))
+    md.save(tmp_path / "train_data_marginal_dists.npz")
+
+    cfg = dataclasses.replace(tiny_config(parameterization="endpoint"),
+                              weight_ae=True)
+    p_a, p_e = load_weight_ae_marginals(cfg, tmp_path)
+    assert p_a.shape == (5,) and p_e.shape == (4,)
+
+    cfg_fake = dataclasses.replace(
+        tiny_config(parameterization="endpoint", fake_atom_p=0.2),
+        weight_ae=True, fake_atom_p=0.2)
+    p_a, _ = load_weight_ae_marginals(cfg_fake, tmp_path)
+    assert p_a.shape == (6,) and float(p_a[-1]) == 0.0
+
+    cfg_off = tiny_config(parameterization="endpoint")
+    assert load_weight_ae_marginals(cfg_off, tmp_path) == (None, None)
