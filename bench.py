@@ -125,11 +125,13 @@ def main():
     # ---- device-only throughput + MFU (packed dispatches) -----------------
     # (molecules the planner routes through the oversized/bucket path are
     # excluded here — they're covered by the wall-clock headline above)
-    cap, rows, oversized = pack_sizes(sizes)
-    plan = list(packed_dispatch_plan(rows, cap, 128, 1))
-    mols_in_plan = sum(len(r) for r in rows)
+    tiers, oversized = pack_sizes(sizes)
+    plan = [d for cap_t, rows_t in tiers
+            for d in packed_dispatch_plan(rows_t, cap_t, 128, 1)]
+    mols_in_plan = sum(len(r) for _, rows_t in tiers for r in rows_t)
     packed_sizes_arr = np.asarray(
-        [s for row in rows for _, s in row], np.int64)
+        [s for _, rows_t in tiers for row in rows_t for _, s in row],
+        np.int64)
     REPS = 3
     total_flops = 0.0
     flops_known = True
@@ -216,7 +218,7 @@ def main():
         "compute_dtype": compute_dtype,
         "n_mols": n_mols,
         "n_timesteps": n_timesteps,
-        "pack_capacity": cap,
+        "pack_capacities": [c for c, _ in tiers],
         "packed_dispatches": [list(g.shape) for g, _, _ in plan],
         "mols_packed": mols_in_plan,
         "mols_oversized": len(oversized),

@@ -84,6 +84,12 @@ def data_module_from_config(config: Dict, rank: int = 0, world_size: int = 1,
         fake_atom_p=model_cfg.fake_atom_p,
         fake_atom_std=model_cfg.fake_atom_std,
         is_ctmc=model_cfg.is_ctmc,
+        # categorical priors are iid unless a config explicitly OT-aligns
+        # them (none of the reference recipes do) — sample them on device
+        # (loss_fn) instead of materializing + transferring (B,N,N,K) f32
+        device_priors=not any(
+            (mol_fm.get("prior_config", {}).get(f) or {}).get("align")
+            for f in ("a", "c", "e")),
     )
     return MoleculeDataModule(
         resolve_data_dir(ds["processed_data_dir"]), data_cfg,
@@ -120,57 +126,97 @@ PACK_CAPACITIES = (48, 64, 96, 128, 192)
 MAX_GRAPHS_PER_ROW = 16
 
 
+# wall-clock cost of one extra packed dispatch (launch + scan ramp +
+# transfer latency), expressed in row*cap^2 pair units so it is comparable
+# with the pairwise-compute term of the plan cost (measured on the v5e: a
+# 250-step packed scan costs ~50us per pair unit; per-dispatch overhead is
+# ~100ms => ~2048 units)
+PACK_DISPATCH_PENALTY = 2048
+
+
 def pack_sizes(sizes, capacities=PACK_CAPACITIES,
                max_graphs_per_row: int = MAX_GRAPHS_PER_ROW):
-    """Plan a packing of molecules into fixed-capacity rows.
+    """Plan a TIERED packing of molecules into fixed-capacity rows.
 
-    Chooses ONE row capacity C from `capacities` minimizing total pairwise
-    compute  rows_FFD(C) * C^2  +  sum(bucket(s)^2 for oversized s), then
-    first-fit-decreasing packs every molecule of size <= C.  Molecules larger
-    than C are returned separately (they go through the classic bucket path).
+    Round 2 chose a single capacity and routed anything larger through the
+    per-size-bucket fallback — on the GEOM draw that sent half the molecules
+    through toy-batch dispatches (the 0.13%-MFU killer).  Now: enumerate
+    subsets of `capacities`, assign each molecule to the smallest subset cap
+    that fits it, first-fit-decreasing pack within each tier, then gap-fill
+    leftover row space with smaller molecules (largest-first).  Plan cost =
+    sum(rows * cap^2) + PACK_DISPATCH_PENALTY * n_tiers; minimum wins.
+    EVERY molecule <= max(capacities) is packed; only molecules larger than
+    every capacity fall back to the bucket path.
 
-    Returns (capacity, rows, oversized) where
-      rows      = list of rows, each a list of (orig_index, size) placed
+    Returns (tiers, oversized):
+      tiers     = list of (capacity, rows), largest capacity first; rows a
+                  list of rows, each a list of (orig_index, size) placed
                   contiguously from offset 0;
-      oversized = list of (orig_index, size).
+      oversized = list of (orig_index, size) with size > max(capacities).
     """
     import numpy as np
     sizes = np.asarray(sizes, dtype=np.int64)
-    order = np.argsort(-sizes, kind="stable")
+    caps_desc = sorted(set(int(c) for c in capacities), reverse=True)
+    max_cap = caps_desc[0]
+    order = [int(i) for i in np.argsort(-sizes, kind="stable")]
+    oversized = [(i, int(sizes[i])) for i in order if sizes[i] > max_cap]
+    packable = [(i, int(sizes[i])) for i in order if sizes[i] <= max_cap]
+    if not packable:
+        return [], oversized
 
-    def ffd(cap):
-        rows, space = [], []
-        overflow = []
-        for idx in order:
-            s = int(sizes[idx])
-            if s > cap:
-                overflow.append((int(idx), s))
+    max_size = packable[0][1]
+
+    def plan_for(subset_desc):
+        """Greedy tiered pack for one capacity subset (descending)."""
+        # tier of a molecule: smallest subset cap that fits it
+        per_tier = {c: [] for c in subset_desc}
+        for item in packable:  # already size-descending
+            cap = min(c for c in subset_desc if c >= item[1])
+            per_tier[cap].append(item)
+        tiers = []
+        for ti, cap in enumerate(subset_desc):
+            mols_here = per_tier[cap]
+            if not mols_here:
                 continue
-            for r in range(len(rows)):
-                if space[r] >= s and len(rows[r]) < max_graphs_per_row:
-                    rows[r].append((int(idx), s))
-                    space[r] -= s
-                    break
-            else:
-                rows.append([(int(idx), s)])
-                space.append(cap - s)
-        return rows, overflow
-
-    def bucket_of(s):
-        return next((b for b in SAMPLING_BUCKETS if s <= b),
-                    int(np.ceil(s / 8) * 8))
+            rows, space = [], []
+            for item in mols_here:  # FFD
+                s = item[1]
+                for r in range(len(rows)):
+                    if space[r] >= s and len(rows[r]) < max_graphs_per_row:
+                        rows[r].append(item)
+                        space[r] -= s
+                        break
+                else:
+                    rows.append([item])
+                    space.append(cap - s)
+            # gap-fill from smaller tiers, largest molecules first
+            for cap_s in subset_desc[ti + 1:]:
+                kept = []
+                for item in per_tier[cap_s]:
+                    s = item[1]
+                    for r in range(len(rows)):
+                        if space[r] >= s and len(rows[r]) < max_graphs_per_row:
+                            rows[r].append(item)
+                            space[r] -= s
+                            break
+                    else:
+                        kept.append(item)
+                per_tier[cap_s] = kept
+            tiers.append((cap, rows))
+        cost = sum(len(rows) * cap * cap for cap, rows in tiers)
+        cost += PACK_DISPATCH_PENALTY * len(tiers)
+        return cost, tiers
 
     best = None
-    for cap in capacities:
-        rows, overflow = ffd(cap)
-        cost = len(rows) * cap * cap + sum(bucket_of(s) ** 2
-                                           for _, s in overflow)
-        # mild penalty per extra dispatch shape (compile + launch overhead)
-        cost += 64 * len({bucket_of(s) for _, s in overflow})
+    n = len(caps_desc)
+    for mask in range(1, 1 << n):
+        subset = [caps_desc[i] for i in range(n) if mask & (1 << i)]
+        if subset[0] < max_size:  # must cover the largest packable molecule
+            continue
+        cost, tiers = plan_for(subset)
         if best is None or cost < best[0]:
-            best = (cost, cap, rows, overflow)
-    _, cap, rows, overflow = best
-    return cap, rows, overflow
+            best = (cost, tiers)
+    return best[1], oversized
 
 
 def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
@@ -321,7 +367,7 @@ def packed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
     from flowmol_tpu.parallel import mesh as pmesh
 
     sizes = np.asarray(sizes, dtype=np.int64)
-    cap, rows, oversized = pack_sizes(sizes, capacities=capacities)
+    tiers, oversized = pack_sizes(sizes, capacities=capacities)
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     mesh_fp = (tuple(d.id for d in mesh.devices.flat)
                if mesh is not None else None)
@@ -355,10 +401,12 @@ def packed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
             }
             off += s
 
-    # ---- packed rows, chunked by max_batch_size (rows, not molecules) ----
+    # ---- packed rows, tier by tier, chunked by max_batch_size -------------
     pending = []
-    for chunk_i, (gids, _, chunk) in enumerate(
-            packed_dispatch_plan(rows, cap, max_batch_size, n_dev)):
+    for chunk_i, (gids, cap, chunk) in enumerate(
+            (d for cap_t, rows_t in tiers
+             for d in packed_dispatch_plan(rows_t, cap_t, max_batch_size,
+                                           n_dev))):
         n_rows_pad = gids.shape[0]
         key = ("packed", n_rows_pad, cap, n_dev, mesh_fp)
         if key not in fns:

@@ -106,6 +106,10 @@ class DataConfig:
     fake_atom_p: float = 0.0
     fake_atom_std: float = 1.0
     is_ctmc: bool = True
+    # when True (categorical priors are iid / never OT-aligned), a0/c0/e0 are
+    # left None and sampled ON DEVICE inside loss_fn — skips the host-side
+    # e0 (n,n,K) materialization and the dominant device transfer
+    device_priors: bool = False
 
 
 def prepare_molecule(rng: np.random.Generator, mol: Dict[str, np.ndarray],
@@ -139,8 +143,16 @@ def prepare_molecule(rng: np.random.Generator, mol: Dict[str, np.ndarray],
     x = x - x.mean(0, keepdims=True)
     n = x.shape[0]
 
-    a_oh = np.eye(cfg.n_atom_types, dtype=np.float32)[a]
     c_off = np.clip(c + 2, 0, cfg.n_charges - 1)  # charges in [-2, 3]
+
+    if cfg.device_priors:
+        # only the (possibly OT-aligned) position prior is host work; the
+        # categorical priors are sampled on device in loss_fn
+        prior = coupled_node_prior_np(rng, {"x": x}, cfg.prior_config)
+        return {"x1": x, "a1": a, "c1": c_off, "e1": adj.astype(np.int32),
+                "x0": prior["x"]}
+
+    a_oh = np.eye(cfg.n_atom_types, dtype=np.float32)[a]
     c_oh = np.eye(cfg.n_charges, dtype=np.float32)[c_off]
 
     dst = {"x": x, "a": a_oh, "c": c_oh}
@@ -162,21 +174,26 @@ def prepare_molecule(rng: np.random.Generator, mol: Dict[str, np.ndarray],
 
 
 def pad_batch(mols: Sequence[Dict[str, np.ndarray]], n_pad: int) -> TrainBatch:
-    """Stack prepared molecules into one padded TrainBatch (numpy arrays)."""
+    """Stack prepared molecules into one padded TrainBatch (numpy arrays).
+
+    Tokens are emitted int8 (values are tiny class indices; loss_fn widens
+    on device) — e1 at int8 is 4x less host->device transfer than int32.
+    Molecules without host-side categorical priors (DataConfig.device_priors)
+    yield a0/c0/e0 = None."""
     B = len(mols)
-    ka = mols[0]["a0"].shape[1]
-    kc = mols[0]["c0"].shape[1]
-    ke = mols[0]["e0"].shape[2]
+    has_cat_priors = "a0" in mols[0]
 
     x1 = np.zeros((B, n_pad, 3), np.float32)
-    a1 = np.zeros((B, n_pad), np.int32)
-    c1 = np.zeros((B, n_pad), np.int32)
-    e1 = np.zeros((B, n_pad, n_pad), np.int32)
+    a1 = np.zeros((B, n_pad), np.int8)
+    c1 = np.zeros((B, n_pad), np.int8)
+    e1 = np.zeros((B, n_pad, n_pad), np.int8)
     x0 = np.zeros((B, n_pad, 3), np.float32)
-    a0 = np.zeros((B, n_pad, ka), np.float32)
-    c0 = np.zeros((B, n_pad, kc), np.float32)
-    e0 = np.zeros((B, n_pad, n_pad, ke), np.float32)
     nm = np.zeros((B, n_pad), bool)
+    a0 = c0 = e0 = None
+    if has_cat_priors:
+        a0 = np.zeros((B, n_pad, mols[0]["a0"].shape[1]), np.float32)
+        c0 = np.zeros((B, n_pad, mols[0]["c0"].shape[1]), np.float32)
+        e0 = np.zeros((B, n_pad, n_pad, mols[0]["e0"].shape[2]), np.float32)
 
     for i, mol in enumerate(mols):
         n = mol["x1"].shape[0]
@@ -185,9 +202,10 @@ def pad_batch(mols: Sequence[Dict[str, np.ndarray]], n_pad: int) -> TrainBatch:
         c1[i, :n] = mol["c1"]
         e1[i, :n, :n] = mol["e1"]
         x0[i, :n] = mol["x0"]
-        a0[i, :n] = mol["a0"]
-        c0[i, :n] = mol["c0"]
-        e0[i, :n, :n] = mol["e0"]
+        if has_cat_priors:
+            a0[i, :n] = mol["a0"]
+            c0[i, :n] = mol["c0"]
+            e0[i, :n, :n] = mol["e0"]
         nm[i, :n] = True
 
     return TrainBatch(x1=x1, a1=a1, c1=c1, e1=e1, x0=x0, a0=a0, c0=c0, e0=e0,

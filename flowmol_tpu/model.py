@@ -227,10 +227,15 @@ class FlowMolConfig:
 class TrainBatch:
     """One padded training batch.
 
-    Ground truth (t=1): x1 (B,N,3) f32; a1/c1 (B,N) i32 tokens;
-    e1 (B,N,N) i32 symmetric tokens.
-    Prior (t=0, OT-coupled on host like dataset.py:168-183): x0 (B,N,3);
-    a0/c0 (B,N,K[+1]) f32; e0 (B,N,N,K[+1]) f32.
+    Ground truth (t=1): x1 (B,N,3) f32; a1/c1 (B,N) int tokens;
+    e1 (B,N,N) int symmetric tokens (any int dtype — int8 slabs minimize the
+    host->device transfer; normalized to i32 on device in `loss_fn`).
+    Prior (t=0): x0 (B,N,3), OT-coupled on host like dataset.py:168-183.
+    a0/c0 (B,N,K[+1]) f32 and e0 (B,N,N,K[+1]) f32 may be None: categorical
+    priors are iid (never OT-aligned in practice), so `loss_fn` samples them
+    ON DEVICE from its rng — skipping the host-side generation and the
+    dominant (B,N,N,K) f32 transfer over the device link.  CTMC and
+    dirichlet parameterizations never read them at all.
     node_mask (B,N) bool.
     """
 
@@ -361,6 +366,20 @@ class FlowMol:
         B = batch.x1.shape[0]
         n = batch.node_mask.shape[1]
         k_t, k_path, k_distort, k_sc, k_drop = jax.random.split(rng, 5)
+
+        # int8 slab tokens (minimal transfer) -> i32 for one_hot/indexing
+        if batch.a1.dtype != jnp.int32:
+            batch = dataclasses.replace(
+                batch, a1=batch.a1.astype(jnp.int32),
+                c1=batch.c1.astype(jnp.int32), e1=batch.e1.astype(jnp.int32))
+        # device-side categorical priors (see TrainBatch docstring); only the
+        # continuous simplex parameterizations consume a0/c0/e0
+        if (batch.a0 is None and not cfg.discrete_cats
+                and cfg.parameterization != "dirichlet"):
+            pr = self._sample_categorical_priors(
+                jax.random.fold_in(k_path, 13), (B, n))  # e already dense
+            batch = dataclasses.replace(
+                batch, a0=pr["a"], c0=pr["c"], e0=pr["e"])
 
         t = jax.random.uniform(k_t, (B,))
         state = self.sample_conditional_path(k_path, batch, t)

@@ -161,3 +161,34 @@ def test_data_module_iterates(synth_dir):
         assert tb.e0.shape[-1] == 5  # 4 bond types + mask
         # padded entries are zero
         assert (np.asarray(tb.x1)[~np.asarray(tb.node_mask)] == 0).all()
+
+
+def test_device_priors_prepare_and_pad(synth_dir):
+    """DataConfig.device_priors: host prep emits no a0/c0/e0 (sampled on
+    device in loss_fn instead), pad_batch yields None for them, and tokens
+    are int8 slabs (minimal transfer)."""
+    ds = PackedDataset(synth_dir / "train_data_processed.npz")
+    cfg = DataConfig(prior_config=CTMC_PRIOR, n_atom_types=5, is_ctmc=True,
+                     device_priors=True)
+    rng = np.random.default_rng(0)
+    mol = prepare_molecule(rng, ds.get_molecule(0), cfg)
+    assert "a0" not in mol and "e0" not in mol and "x0" in mol
+
+    tb = pad_batch([mol], 32)
+    assert tb.a0 is None and tb.c0 is None and tb.e0 is None
+    assert tb.e1.dtype == np.int8 and tb.a1.dtype == np.int8
+    assert tb.x0.shape == (1, 32, 3)
+
+
+def test_data_module_factory_sets_device_priors():
+    """api.data_module_from_config turns device_priors on unless a
+    categorical prior explicitly requests OT alignment."""
+    from flowmol_tpu.api import data_module_from_config, read_config_file
+    config = read_config_file("configs/dev.yml")
+    dm = data_module_from_config(config)
+    assert dm.cfg.device_priors
+
+    config["mol_fm"]["prior_config"]["a"] = {
+        "align": True, "type": "uniform-simplex", "kwargs": {}}
+    dm = data_module_from_config(config)
+    assert not dm.cfg.device_priors

@@ -275,3 +275,54 @@ def test_load_weight_ae_marginals(tmp_path):
 
     cfg_off = tiny_config(parameterization="endpoint")
     assert load_weight_ae_marginals(cfg_off, tmp_path) == (None, None)
+
+
+def test_device_prior_sampling_matches_host_filled():
+    """loss_fn with a0/c0/e0=None must equal loss_fn on a batch pre-filled
+    with the identical device draw — pins the on-device prior plumbing
+    (TrainBatch docstring; transfer-minimizing train path)."""
+    import dataclasses
+    cfg = tiny_config(parameterization="endpoint")
+    model = FlowMol(cfg)
+    batch = random_batch(B=2, N=8, cfg=cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(3)
+
+    none_batch = dataclasses.replace(batch, a0=None, c0=None, e0=None)
+    total_none, _ = model.loss_fn(params, none_batch, rng)
+
+    # replicate loss_fn's internal key derivation for the prior draw
+    k_path = jax.random.split(rng, 5)[1]
+    B, n = batch.node_mask.shape
+    pr = model._sample_categorical_priors(
+        jax.random.fold_in(k_path, 13), (B, n))
+    filled = dataclasses.replace(batch, a0=pr["a"], c0=pr["c"], e0=pr["e"])
+    total_filled, _ = model.loss_fn(params, filled, rng)
+    np.testing.assert_allclose(np.asarray(total_none),
+                               np.asarray(total_filled), rtol=1e-6)
+
+
+@pytest.mark.parametrize("parameterization", ["ctmc", "dirichlet"])
+def test_loss_ignores_cat_priors_for_discrete_paths(parameterization):
+    """CTMC / dirichlet training never reads a0/c0/e0: loss with None priors
+    must equal loss with the helper's filled priors, and int8 tokens must
+    score identically to int32 (loss_fn widens on device)."""
+    import dataclasses
+    cfg = tiny_config(parameterization=parameterization)
+    model = FlowMol(cfg)
+    batch = random_batch(B=2, N=8, cfg=cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(4)
+
+    total_full, _ = model.loss_fn(params, batch, rng)
+    none_batch = dataclasses.replace(batch, a0=None, c0=None, e0=None)
+    total_none, _ = model.loss_fn(params, none_batch, rng)
+    np.testing.assert_allclose(np.asarray(total_none), np.asarray(total_full),
+                               rtol=1e-6)
+
+    int8_batch = dataclasses.replace(
+        none_batch, a1=none_batch.a1.astype(jnp.int8),
+        c1=none_batch.c1.astype(jnp.int8), e1=none_batch.e1.astype(jnp.int8))
+    total_i8, _ = model.loss_fn(params, int8_batch, rng)
+    np.testing.assert_allclose(np.asarray(total_i8), np.asarray(total_full),
+                               rtol=1e-6)
