@@ -1,26 +1,43 @@
 #!/bin/bash
-# Round-3 winddown: stop (or wait out) the v3 retrain supervisors, verify
+# Round-3 winddown: stop (or wait out) the training supervisors, verify
 # they are actually dead, then run the serialized 250-step reference-protocol
 # evals and ship each model with its metrics attached.
 #
-# Fixes the round-2 advisor findings on winddown_r2d.sh:
+# Advisor contract (round-2 findings on winddown_r2d.sh):
 #   * supervisors are setsid session leaders with pids in /tmp/sup_<n>.pid
-#     (written by resume_r3.sh / launch_v3.sh) — the kill targets the whole
-#     process group and FAILS LOUDLY when no pid file exists;
+#     — the kill targets the whole process group and FAILS LOUDLY when no
+#     pid file exists;
 #   * after TERM we poll `kill -0 -- -PGID` until the group is gone (120s
 #     timeout, then KILL), instead of a blind sleep;
 #   * pid files are removed after a confirmed kill so later invocations
 #     cannot kill reused pids.
 #
-# Usage: winddown_r3.sh [--kill] [name ...]     (default names: endpoint
-#        dirichlet vf; default mode: wait for supervisors to finish)
+# Runs are declared in a manifest (default /tmp/r3_runs.tsv), one line per
+# run:   <name> <run_dir> <ship_name>
+# written by the launch commands.  <name> keys the pid file /tmp/sup_<name>.pid.
+#
+# Usage: winddown_r3.sh [--kill] [--manifest FILE] [name ...]
+#        (default: every run in the manifest; default mode: wait)
 set -eu
 cd "$(dirname "$0")/.."
 
 KILL=0
-if [ "${1:-}" = "--kill" ]; then KILL=1; shift; fi
-NAMES=("$@")
-[ ${#NAMES[@]} -gt 0 ] || NAMES=(endpoint dirichlet vf)
+MANIFEST=/tmp/r3_runs.tsv
+while [ $# -gt 0 ]; do
+  case $1 in
+    --kill) KILL=1; shift;;
+    --manifest) MANIFEST=$2; shift 2;;
+    *) break;;
+  esac
+done
+[ -f "$MANIFEST" ] || { echo "winddown: no manifest $MANIFEST"; exit 1; }
+ONLY=("$@")
+
+want() { # is $1 in ONLY (or ONLY empty)?
+  [ ${#ONLY[@]} -eq 0 ] && return 0
+  local x; for x in "${ONLY[@]}"; do [ "$x" = "$1" ] && return 0; done
+  return 1
+}
 
 stop_group() { # $1 = pid file
   local pf=$1 pid
@@ -57,26 +74,24 @@ stop_group() { # $1 = pid file
   echo "winddown: group $pid confirmed dead"
 }
 
-for n in "${NAMES[@]}"; do
+# phase 1: stop every requested supervisor
+while IFS=$'\t' read -r n D SHIP; do
+  [ -n "$n" ] || continue
+  want "$n" || continue
   stop_group "/tmp/sup_${n}.pid"
-done
+done < "$MANIFEST"
 
-# chip is free now: serialized reference-protocol evals + ship
+# phase 2: chip is free — serialized reference-protocol evals + ship
 mkdir -p /tmp/r3_evals
-for n in "${NAMES[@]}"; do
-  D=$(ls -dt runs/${n}_v3_* 2>/dev/null | head -1)
-  [ -n "$D" ] || { echo "winddown: no run dir for $n"; exit 1; }
+while IFS=$'\t' read -r n D SHIP; do
+  [ -n "$n" ] || continue
+  want "$n" || continue
+  [ -d "$D" ] || { echo "winddown: no run dir $D for $n"; exit 1; }
   M=/tmp/r3_evals/${n}_metrics.json
   echo "winddown: evaluating $D (250 steps, n=100, 5 subsets)"
   python -u test.py --model_dir "$D" --n_mols 100 --n_timesteps 250 \
       --n_subsets 5 --metrics --metrics_file "$M"
-  case $n in
-    endpoint)  SHIP=qm9_synth_endpoint;;
-    dirichlet) SHIP=qm9_synth_dirichlet;;
-    vf)        SHIP=qm9_synth_vf;;
-    *)         SHIP=qm9_synth_$n;;
-  esac
   python tools/ship_model.py "$D" "$SHIP" --metrics_file "$M"
   echo "winddown: shipped $D -> trained_models/$SHIP"
-done
+done < "$MANIFEST"
 echo "winddown: done — update trained_models/readme.md with the new numbers"
