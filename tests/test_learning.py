@@ -8,6 +8,8 @@ path, integration) silently caps sample quality.  The reference has no such
 test (SURVEY.md §4); its equivalent was eyeballing in-training wandb curves.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -144,3 +146,47 @@ def test_continuous_parameterizations_learn(param):
 
     m1 = _sample_metrics(model, state.params, sizes)
     assert m1["frac_atoms_stable"] > m0["frac_atoms_stable"] + 0.25
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("FLOWMOL_MEDIUM_ANCHOR"),
+                    reason="medium-scale anchor: ~10 min on a real TPU; "
+                           "set FLOWMOL_MEDIUM_ANCHOR=1 to run")
+def test_endpoint_medium_scale_quality_anchor(tmp_path):
+    """Medium-scale quality anchor (VERDICT r2 item 3): the toy anchors
+    above verify "learns a little", which the round-2 vector-field run
+    passed while shipping 0.00 validity.  This anchor trains the REAL
+    128-scalar endpoint recipe (configs/bake_ep_gauss_cos.yml: gaussian
+    categorical priors, cosine schedules) for 3k steps through the actual
+    train.py/test.py CLIs and requires the quality trajectory of a healthy
+    recipe, so a silent quality ceiling fails a test instead of shipping.
+
+    Calibration (r3 bake run, 100-step 48-mol in-loop evals):
+    frac_connected 0.38@2.7k -> 0.56@3.5k steps; frac_atoms_stable
+    0.66@2.7k -> 0.72@3.5k.  The round-2 uniform-simplex recipe sat at
+    ~0.15 connected after 75k steps.  Thresholds sit well under the
+    healthy curve and far above the broken one."""
+    import json
+    import subprocess
+    if not os.path.isdir("data/synthetic_qm9_5k"):
+        subprocess.run(["python", "tools/make_synthetic_data.py", "--out",
+                        "data/synthetic_qm9_5k", "--n", "5000"], check=True)
+    import yaml
+    cfg = yaml.safe_load(open("configs/bake_ep_gauss_cos.yml"))
+    cfg["training"]["output_dir"] = str(tmp_path) + "/"
+    cfg_file = tmp_path / "anchor_med.yml"
+    cfg_file.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    subprocess.run(
+        ["python", "-u", "train.py", "--config", str(cfg_file),
+         "--run_name", "anchor_med", "--max_steps", "3000"],
+        check=True, timeout=3600)
+    run_dir = sorted(tmp_path.glob("anchor_med_*"))[-1]
+    mfile = tmp_path / "metrics.json"
+    subprocess.run(
+        ["python", "-u", "test.py", "--model_dir", str(run_dir),
+         "--n_mols", "48", "--n_timesteps", "100", "--metrics",
+         "--metrics_file", str(mfile)],
+        check=True, timeout=1800)
+    m = json.loads(mfile.read_text())
+    assert m["frac_connected"] >= 0.30, m
+    assert m["frac_atoms_stable"] >= 0.55, m
