@@ -294,3 +294,90 @@ def trajectory_xyz_frames(traj: Dict[str, np.ndarray], mol_idx: int,
                          f"{pos[i, 2]:.4f}")
         frames.append("\n".join(lines))
     return frames
+
+
+def trajectory_sdf(traj: Dict[str, np.ndarray], mol_idx: int,
+                   node_mask: np.ndarray,
+                   atom_type_map: Sequence[str],
+                   endpoint: bool = False,
+                   align_to_final: bool = True,
+                   fake_atoms: bool = False,
+                   ctmc_mol: bool = True) -> str:
+    """Per-molecule trajectory as a multi-record SDF string, BONDS INCLUDED.
+
+    Parity with the reference's bonded trajectory molecules
+    (/root/reference/flowmol/analysis/molecule_builder.py:156-214 builds
+    per-step molecules, /root/reference/test.py:224-259 writes them as SDF):
+    each scan frame becomes one V2000 mol block with the frame's current
+    (or endpoint-predicted) atom/charge/bond tokens, Kabsch-aligned to the
+    final frame.  Written by hand (no RDKit dependency): atom block, bond
+    block from the per-step edge tokens, M CHG lines.  Mask tokens decode
+    as 'Se', fake atoms as 'Sn'; mask/none bond tokens draw no bond.
+    """
+    from flowmol_tpu.data.priors import np_rigid_align
+
+    amap = list(atom_type_map)
+    if fake_atoms:
+        amap.append("Sn")
+    if ctmc_mol:
+        amap.append("Se")
+    n = int(np.asarray(node_mask)[mol_idx].sum())
+    sfx = "_pred" if endpoint else ""
+    key_x = "x_pred" if endpoint else "x"
+    if key_x not in traj:
+        raise KeyError(
+            f"trajectory has no '{key_x}' frames (the vector-field "
+            "parameterization has no endpoint estimate to record)")
+    xs = np.asarray(traj[key_x])[:, mol_idx, :n]
+    ats = np.asarray(traj["a" + sfx])[:, mol_idx, :n]
+    chs = np.asarray(traj["c" + sfx])[:, mol_idx, :n]
+    if ats.ndim == 3:
+        ats = ats.argmax(-1)
+    if chs.ndim == 3:
+        chs = chs.argmax(-1)
+
+    n_pad = np.asarray(node_mask).shape[1]
+    iu, ju = np.triu_indices(n_pad, 1)
+    keep = (iu < n) & (ju < n)
+    iu, ju = iu[keep], ju[keep]
+    if "e_up" + sfx in traj:
+        eups = np.asarray(traj["e_up" + sfx])[:, mol_idx]
+        if eups.ndim == 3:
+            eups = eups.argmax(-1)
+        eups = eups[:, keep]
+    else:  # continuous parameterizations record dense simplex edge states
+        e_dense = np.asarray(traj["e" + sfx])[:, mol_idx].argmax(-1)
+        eups = e_dense[:, iu, ju]
+
+    x_final = xs[-1]
+    # SDF bond orders: 1 single, 2 double, 3 triple, 4 aromatic; 0/mask: none
+    n_bond_real = 4
+    records = []
+    for t in range(xs.shape[0]):
+        pos = (np_rigid_align(xs[t].astype(np.float64), x_final)
+               if align_to_final else xs[t])
+        bonds = [(int(i) + 1, int(j) + 1, int(b))
+                 for i, j, b in zip(iu, ju, eups[t])
+                 if 1 <= b <= n_bond_real]
+        lines = [f"frame {t}", "  flowmol_tpu trajectory", ""]
+        lines.append(f"{n:3d}{len(bonds):3d}  0  0  0  0  0  0  0  0999 V2000")
+        charges = []
+        for i in range(n):
+            tok = int(ats[t, i])
+            sym = amap[tok] if tok < len(amap) else "Se"
+            lines.append(f"{pos[i, 0]:10.4f}{pos[i, 1]:10.4f}"
+                         f"{pos[i, 2]:10.4f} {sym:<3s} 0  0  0  0  0  0  0"
+                         "  0  0  0  0  0")
+            chg = int(chs[t, i]) - 2
+            if chg:
+                charges.append((i + 1, chg))
+        for i, j, b in bonds:
+            lines.append(f"{i:3d}{j:3d}{b:3d}  0")
+        for k in range(0, len(charges), 8):
+            grp = charges[k:k + 8]
+            lines.append("M  CHG" + f"{len(grp):3d}" +
+                         "".join(f"{a:4d}{c:4d}" for a, c in grp))
+        lines.append("M  END")
+        lines.append("$$$$")
+        records.append("\n".join(lines))
+    return "\n".join(records) + "\n"

@@ -487,6 +487,13 @@ class FlowMol:
                 kb = jax.random.fold_in(blur_rng, FEAT_INDEX[feat])
                 soft = soft + jax.random.normal(kb, soft.shape) * cfg.target_blur
                 soft = jax.nn.softmax(soft, axis=-1)
+                if cfg.weight_ae and feat in ("a", "e"):
+                    # torch CrossEntropyLoss(weight) on class-probability
+                    # targets: weights enter the numerator per class and
+                    # 'mean' still divides by N (no weighted denominator)
+                    pw = p_a if feat == "a" else p_e
+                    if pw is not None:
+                        soft = soft * (1.0 - pw)
                 ce = -jnp.sum(soft * logp, axis=-1)
             else:
                 ce = -jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
@@ -508,7 +515,7 @@ class FlowMol:
                 if not cfg.time_scaled_loss:
                     denom = jnp.sum(valid * is_masked)
             if (not cfg.time_scaled_loss and cfg.weight_ae
-                    and feat in ("a", "e")):
+                    and cfg.target_blur == 0 and feat in ("a", "e")):
                 pw = p_a if feat == "a" else p_e
                 if pw is not None:
                     # weighted 'mean' divides by the sum of target weights

@@ -308,8 +308,13 @@ class GVPConv(nn.Module):
         s: (B,N,Ds) node scalars; v: (B,N,Dv,3) node vectors;
         ef: (B,N,N,De) edge features; x: (B,N,3) positions;
         x_diff: (B,N,N,3) unit j->i displacement (source minus dest);
-        d: (B,N,N,rbf_dim); pair_mask: (B,N,N) bool; node_mask: (B,N) bool.
+        d: (B,N,N,rbf_dim); pair_mask: (B,N,N) bool; node_mask: (B,N) bool
+        validity mask OR int graph-id array for packed rows
+        (graphs.is_graph_ids) — the fused Pallas message kernel consumes the
+        raw graph ids; everything else uses the derived bool validity.
         """
+        from flowmol_tpu.graphs import node_validity
+        node_valid = node_validity(node_mask)
         B, N = s.shape[:2]
         s_msg = self.s_message_dim or self.scalar_size
         v_msg = self.v_message_dim or self.vector_size
@@ -376,7 +381,8 @@ class GVPConv(nn.Module):
             wmsg = init_weights(self, spec, torch_uniform)
             use_pallas = (self.use_pallas and deterministic
                           and spec.message_norm != "mean"
-                          and s.shape[1] % 8 == 0)
+                          and s.shape[1] % 8 == 0
+                          and jax.default_backend() == "tpu")
             if use_pallas:
                 from flowmol_tpu.ops.pallas_messages import pallas_message_agg
                 agg_s, agg_v = pallas_message_agg(
@@ -386,7 +392,8 @@ class GVPConv(nn.Module):
                 agg_s, agg_v = xla_message_agg(
                     wmsg, spec, sc, s_dst, vc, v_dst, x, ef, pair_mask,
                     dtype=dt)
-            return self._finish(s, v, agg_s, agg_v, node_mask, deterministic)
+            return self._finish(s, v, agg_s, agg_v, node_valid,
+                                deterministic)
 
         d_ef = constrain_pairs(
             jnp.concatenate([d, ef], axis=-1) if self.edge_feat_size > 0 else d)
@@ -442,7 +449,7 @@ class GVPConv(nn.Module):
             agg_s, agg_v = GVPChain(dims, self.n_cp_feats, dtype=self.dtype,
                                     name="message_expansion")((agg_s, agg_v))
 
-        return self._finish(s, v, agg_s, agg_v, node_mask, deterministic)
+        return self._finish(s, v, agg_s, agg_v, node_valid, deterministic)
 
     def _finish(self, s, v, agg_s, agg_v, node_mask, deterministic):
         """Shared tail: dropout -> residual -> layernorm -> node update.

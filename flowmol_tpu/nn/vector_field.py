@@ -273,10 +273,6 @@ class MolGVPNet(nn.Module):
         # sees per-node/per-pair masked quantities.
         pair_mask = constrain_pairs(node_mask_to_pair_mask(node_mask))
         nm_valid = node_validity(node_mask)
-        if c.use_pallas and node_mask is not nm_valid:
-            raise NotImplementedError(
-                "use_pallas computes its pair mask from a boolean node mask "
-                "internally and does not support packed (graph-id) rows")
 
         # the explicit-weight message path computes pairwise geometry
         # internally (fused with the first layer), so only materialize
@@ -297,7 +293,7 @@ class MolGVPNet(nn.Module):
 
         for _ in range(c.n_recycles):
             for conv_idx, conv in enumerate(self.conv_layers):
-                s, v = conv(s, v, ef, x, x_diff, d, pair_mask, nm_valid,
+                s, v = conv(s, v, ef, x, x_diff, d, pair_mask, node_mask,
                             deterministic)
                 # reference trigger (vector_field.py:321): never after the
                 # very first conv, then every convs_per_update convolutions
@@ -312,7 +308,10 @@ class MolGVPNet(nn.Module):
         node_out = self.node_output_head(s)
         a_logits = node_out[..., :c.n_atom_types]
         c_logits = node_out[..., c.n_atom_types:]
-        e_logits = self.to_edge_logits(ef + jnp.swapaxes(ef, 1, 2))
+        # symmetrize in the compute dtype: the head casts to c.dtype anyway,
+        # and the f32 (B,N,N,128) transpose was a profiled hot spot
+        ef_dt = ef.astype(c.dtype) if c.dtype else ef
+        e_logits = self.to_edge_logits(ef_dt + jnp.swapaxes(ef_dt, 1, 2))
 
         if remove_com:
             x = graphs_remove_com(x, node_mask)

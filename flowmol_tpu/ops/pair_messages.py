@@ -154,164 +154,6 @@ def _layer0(w, spec, dt, sc, s_dst, vc, v_dst, x_diff, d_ef):
     return s0, v0
 
 
-# --------------------------------------------------------------------------- #
-# flat (component-blocked) layout path
-#
-# TPU tiles the minor-most two dims of every materialized tensor to (8, 128)
-# (sublanes, lanes).  A pair vector tensor shaped (B, N, N, V, 3) therefore
-# physically occupies ~42x its logical bytes (3 -> 128 lanes), which makes the
-# message stack HBM-bound at ~2% of the logical-byte roofline.  The flat path
-# stores every pair vector tensor as (B, N, N, 3V) in component-blocked order
-# [x-block | y-block | z-block], so the minor dim is >= 96 and pads <= 2x:
-#   * channel mixing  v @ W        ->  v_flat @ kron(I3, W)
-#   * cross products                ->  per-component block slices
-#   * vector norms over components  ->  sum of squared blocks
-#   * vector gating                 ->  gate tiled 3x along the flat dim
-# Identical math (same products, f32 accumulation on the MXU), ~20x less
-# physical HBM traffic on the (B,N,N,·,3) intermediates.
-# --------------------------------------------------------------------------- #
-
-def _kron3(w):
-    """(a, b) -> (3a, 3b) block-diagonal: flat channel mix in blocked layout."""
-    return jnp.kron(jnp.eye(3, dtype=w.dtype), w)
-
-
-def _to_flat(v):
-    """(..., V, 3) -> (..., 3V) component-blocked."""
-    return jnp.swapaxes(v, -1, -2).reshape(*v.shape[:-2], 3 * v.shape[-2])
-
-
-def _from_flat(vf):
-    """(..., 3V) component-blocked -> (..., V, 3)."""
-    p = vf.shape[-1] // 3
-    return jnp.moveaxis(vf.reshape(*vf.shape[:-1], 3, p), -2, -1)
-
-
-def _blk(t, p, lo, hi):
-    """Select channels [lo, hi) from each component block of t (..., 3p)."""
-    return jnp.concatenate([t[..., c * p + lo: c * p + hi] for c in range(3)],
-                           axis=-1)
-
-
-def _cross_flat(a, b, p):
-    """Cross product per channel; a, b (..., 3p) blocked -> (..., 3p)."""
-    ax, ay, az = a[..., :p], a[..., p:2 * p], a[..., 2 * p:]
-    bx, by, bz = b[..., :p], b[..., p:2 * p], b[..., 2 * p:]
-    return jnp.concatenate(
-        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1)
-
-
-def _cat_blocks(t1, p1, t2, p2):
-    """Concat channels per component: (..., 3p1) + (..., 3p2) -> (..., 3(p1+p2))."""
-    parts = []
-    for c in range(3):
-        parts.append(t1[..., c * p1:(c + 1) * p1])
-        parts.append(t2[..., c * p2:(c + 1) * p2])
-    return jnp.concatenate(parts, axis=-1)
-
-
-def _block_norm(vf, p, eps=1e-8):
-    """norm_no_nan over components in blocked layout; vf (..., 3p) -> (..., p)."""
-    sq = jnp.square(vf.astype(jnp.float32))
-    s2 = sq[..., :p] + sq[..., p:2 * p] + sq[..., 2 * p:]
-    return jnp.sqrt(jnp.maximum(s2, eps))
-
-
-def _tile3(g):
-    return jnp.concatenate([g, g, g], axis=-1)
-
-
-def _gvp_layer_flat(w, li, ncp, s, vf, dt):
-    """One GVP over per-pair state; vf (..., 3*v_in) component-blocked."""
-    wh = w[f"wh{li}"].astype(dt)
-    h = wh.shape[1]
-    vh = vf @ _kron3(wh)
-    if ncp:
-        vcp = vf @ _kron3(w[f"wcp{li}"].astype(dt))
-        a = _blk(vcp, 2 * ncp, 0, ncp)
-        b = _blk(vcp, 2 * ncp, ncp, 2 * ncp)
-        vh = _cat_blocks(vh, h, _cross_flat(a, b, ncp), ncp)
-    vu = vh @ _kron3(w[f"wu{li}"].astype(dt))
-    sh = _block_norm(vh, h + ncp).astype(dt)
-    y = jnp.concatenate([s, sh], -1) @ w[f"k{li}"].astype(dt) + \
-        w[f"b{li}"].astype(dt)
-    s_out = jax.nn.silu(y)
-    gate = s_out @ w[f"g{li}"].astype(dt) + w[f"gb{li}"].astype(dt)
-    v_out = _tile3(jax.nn.sigmoid(gate).astype(dt)) * vu
-    return s_out, v_out
-
-
-def _layer0_flat(w, spec, dt, sc, s_dst, vcf, v_dstf, x_diff, d_ef):
-    """Factored layer 0 in blocked layout (same math as `_layer0`)."""
-    ncp = spec.n_cp_feats
-    wh = w["wh0"].astype(dt)
-    h0 = wh.shape[1]
-    wh_x, wh_src = wh[0], wh[1:1 + spec.v_msg]
-    vh = x_diff @ _kron3(wh_x[None, :])                   # (B,N,N,3h0)
-    vh = vh + (vcf @ _kron3(wh_src))[:, None]
-    if spec.v_dst:
-        vh = vh + (v_dstf @ _kron3(wh[1 + spec.v_msg:]))[:, :, None]
-    if ncp:
-        wcp = w["wcp0"].astype(dt)
-        vcp = x_diff @ _kron3(wcp[0][None, :])
-        vcp = vcp + (vcf @ _kron3(wcp[1:1 + spec.v_msg]))[:, None]
-        if spec.v_dst:
-            vcp = vcp + (v_dstf @ _kron3(wcp[1 + spec.v_msg:]))[:, :, None]
-        a = _blk(vcp, 2 * ncp, 0, ncp)
-        b = _blk(vcp, 2 * ncp, ncp, 2 * ncp)
-        vh = _cat_blocks(vh, h0, _cross_flat(a, b, ncp), ncp)
-
-    vu = vh @ _kron3(w["wu0"].astype(dt))
-    sh = _block_norm(vh, h0 + ncp).astype(dt)
-
-    y = jnp.einsum("bijd,do->bijo", d_ef, w["k_edge"].astype(dt))
-    y = y + jnp.einsum("bijh,ho->bijo", sh, w["k_sh"].astype(dt))
-    y = y + jnp.einsum("bnd,do->bno", sc, w["k_src"].astype(dt))[:, None]
-    if spec.s_dst:
-        y = y + jnp.einsum("bnd,do->bno", s_dst,
-                           w["k_dst"].astype(dt))[:, :, None]
-    s0 = jax.nn.silu(y + w["b0"].astype(dt))
-    gate = s0 @ w["g0"].astype(dt) + w["gb0"].astype(dt)
-    v0 = _tile3(jax.nn.sigmoid(gate).astype(dt)) * vu
-    return s0, v0
-
-
-def xla_message_agg_flat(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
-                         x, ef, pair_mask, dtype=None):
-    """Message stack + masked aggregation with flat pair-vector layout.
-
-    Same weights / same math as `xla_message_agg`; all (B,N,N,·,3) pair
-    intermediates are kept as (B,N,N,3·) component-blocked tensors instead.
-    """
-    dt = dtype or sc.dtype
-    diff = x[:, None, :, :] - x[:, :, None, :]
-    dij = norm_no_nan(diff, axis=-1, keepdims=True) + 1e-8
-    x_diff = constrain_pairs((diff / dij).astype(dt))
-    d = rbf(dij[..., 0], d_max=spec.rbf_dmax, d_count=spec.rbf_dim)
-    d_ef = constrain_pairs(
-        (jnp.concatenate([d, ef], -1) if spec.edge_feat_dim else d).astype(dt))
-
-    vcf = _to_flat(vc.astype(dt))
-    v_dstf = _to_flat(v_dst.astype(dt)) if spec.v_dst else None
-    s, v = _layer0_flat(w, spec, dt, sc.astype(dt),
-                        None if not spec.s_dst else s_dst.astype(dt),
-                        vcf, v_dstf, x_diff, d_ef)
-    for li in range(1, len(spec.dims)):
-        s, v = _gvp_layer_flat(w, li, spec.n_cp_feats, s, v, dt)
-
-    pmf = pair_mask[..., None].astype(s.dtype)
-    agg_s = jnp.sum(s * pmf, axis=2, dtype=jnp.float32)
-    agg_vf = jnp.sum(v * pmf, axis=2, dtype=jnp.float32)
-    agg_v = _from_flat(agg_vf)
-    if spec.message_norm == "mean":
-        cnt = jnp.maximum(jnp.sum(pmf, axis=2, dtype=jnp.float32), 1.0)
-        agg_s, agg_v = agg_s / cnt, agg_v / cnt[..., None]
-    elif spec.message_norm != "sum":
-        z = float(spec.message_norm)
-        agg_s, agg_v = agg_s / z, agg_v / z
-    return agg_s, agg_v
-
-
 def xla_message_agg(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
                     x, ef, pair_mask, dtype=None):
     """Reference-semantics message stack + masked aggregation in plain XLA."""

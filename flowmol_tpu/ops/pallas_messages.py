@@ -1,23 +1,30 @@
 """Fused Pallas TPU kernel for the pairwise message stack + aggregation.
 
-One grid step computes, for a block of `bi` destination rows of the complete
-molecular graph, messages from ALL N sources: pairwise geometry (unit
-displacement + RBF), the factored layer-0 GVP, the remaining message GVP
-layers, masking, and the masked sum over sources — entirely in VMEM.  No
-(B, N, N, ·) intermediate is ever written to HBM (the XLA path materializes
-several per layer; see flowmol_tpu/ops/pair_messages.py for the reference
-semantics this must match at bf16 tolerance).
+One grid cell computes, for a block of `bi` destination rows of one padded
+batch row, messages from ALL N sources: pairwise geometry (unit displacement
++ RBF), the factored layer-0 GVP, the remaining message GVP layers, masking,
+and the masked sum over sources — entirely in VMEM.  No (B, N, N, ·)
+intermediate is ever written to HBM.  The XLA path
+(flowmol_tpu/ops/pair_messages.py::xla_message_agg) materializes ~25 pair
+tensors per conv per step (profiled round 4: >80% of sampler step time);
+this kernel is the speed-of-light alternative for the sampling hot loop.
 
-Design notes (v2, tuned on v5e):
-  * pair index space is flattened to rows: P = bi * N pairs per grid step,
+Design notes (v3, tuned on v5e — v2 ran at 3.3x its padded-MXU bound):
+  * pair index space is flattened to rows: P = bi * N pairs per grid cell,
     channels in lanes — every matmul is a plain (rows, K) @ (K, C') MXU op;
   * vector features are *coordinate-stacked*: one (3P, C) tensor whose row
-    blocks are the x/y/z coordinates, so per-coordinate channel mixes
-    (Wh/Wu/Wcp) run as a single matmul of M = 3P instead of three small ones
-    (cross products and norms slice the P-sized row blocks back out —
-    static sublane-dim slices);
-  * each destination block accumulates over all sources inside the step —
-    outputs are written once, no cross-step read-modify-write;
+    blocks are the x/y/z coordinates, so per-coordinate channel mixes run as
+    a single matmul of M = 3P (cross products and norms slice the P-sized
+    row blocks back out — static sublane slices);
+  * weights are MERGED and PRE-CAST on the host: [Wh | Wcp] is one matmul,
+    layer 0's [K_edge; K_sh] is one matmul, and everything enters the kernel
+    in the compute dtype — v2 re-cast f32 weights inside every grid cell;
+  * per-node terms of the factored layer 0 (source/dst channel mixes) are
+    precomputed OUTSIDE at O(B·N) cost and broadcast in-kernel;
+  * masks support BOTH one-molecule-per-row bool masks and packed graph-id
+    rows (flowmol_tpu.graphs.is_graph_ids): the mask is
+    (gid_i == gid_j) & valid_i & valid_j & (i != j), computed from a single
+    f32 gid array (bool masks encode gid=0 for valid, -1 for padding);
   * state is bf16 end to end; vector norms and the final aggregation
     accumulate in f32.
 
@@ -29,7 +36,7 @@ path; training uses the XLA path (same weights).
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,10 +45,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flowmol_tpu.ops.pair_messages import MessageStackSpec
-
-
-def _zero_idx(nd, b, i):
-    return (0,) * nd
 
 
 def _mm(a, b, dt):
@@ -93,19 +96,29 @@ def _rep3(t):
 
 
 def _gvp_tail_layer(w, li, ncp, s, v, p, dt):
-    """Standard GVP on per-pair state: s (P, S), v (3P, V) coord-stacked."""
-    vh = _mm(v, w[f"wh{li}"].astype(dt), dt)
+    """Standard GVP on per-pair state: s (P, S), v (3P, V) coord-stacked.
+
+    Slice-free layout (Mosaic charges ~0.16ms per unaligned lane slice of
+    even a tiny tensor): the channel mix emits [Wcp_a | Wh] so the only
+    slice is offset-0 (free); cross partner b comes from its own matmul;
+    Wu / K carry zero rows for the a-block so the merged tensors feed
+    matmuls without ever being sliced or lane-concatenated.
+    """
+    vah = _mm(v, w[f"wah{li}"], dt)             # (3P, ncp + h) = [a | vh]
     if ncp:
-        vcp = _mm(v, w[f"wcp{li}"].astype(dt), dt)
-        cp = _cross_stacked(vcp[:, :ncp], vcp[:, ncp:], p)
-        vh = jnp.concatenate([vh, cp], axis=-1)
-    vu = _mm(vh, w[f"wu{li}"].astype(dt), dt)
-    sh = _norm_stacked(vh, p).astype(dt)
-    y = _mm(jnp.concatenate([s, sh], -1), w[f"k{li}"].astype(dt), dt) \
-        + w[f"b{li}"].astype(dt)
+        b = _mm(v, w[f"wcpb{li}"], dt)          # (3P, ncp)
+        cp = _cross_stacked(vah[:, :ncp], b, p)  # offset-0 slice only
+        vu = _mm(vah, w[f"wu{li}"], dt) + _mm(cp, w[f"wucp{li}"], dt)
+        sh_cp = _norm_stacked(cp, p).astype(dt)
+        y = (_mm(jnp.concatenate([s, _norm_stacked(vah, p).astype(dt)], -1),
+                 w[f"k{li}"], dt)
+             + _mm(sh_cp, w[f"kcp{li}"], dt) + w[f"b{li}"])
+    else:
+        vu = _mm(vah, w[f"wu{li}"], dt)
+        sh = _norm_stacked(vah, p).astype(dt)
+        y = _mm(jnp.concatenate([s, sh], -1), w[f"k{li}"], dt) + w[f"b{li}"]
     s_out = _silu(y, dt)
-    gate = _sigmoid(_mm(s_out, w[f"g{li}"].astype(dt), dt)
-                    + w[f"gb{li}"].astype(dt), dt)
+    gate = _sigmoid(_mm(s_out, w[f"g{li}"], dt) + w[f"gb{li}"], dt)
     return s_out, _rep3(gate) * vu
 
 
@@ -115,27 +128,28 @@ def _make_kernel(spec: MessageStackSpec, bi: int, n: int, dt, n_layers: int,
     h0 = spec.h0
     has_dst = spec.s_dst > 0
     z = 1.0 if spec.message_norm == "sum" else float(spec.message_norm)
-    # rbf centers generated in-kernel via iota (no captured constants)
+    # rbf centers generated in-kernel via iota (matches embedding.rbf:
+    # mu = linspace(0, d_max, d_count), sigma = d_max / d_count)
     rbf_step = spec.rbf_dmax / (spec.rbf_dim - 1)
     rbf_sigma = spec.rbf_dmax / spec.rbf_dim
 
     def kernel(*refs):
         i_blk = pl.program_id(1)
         it = iter(refs)
-        x_i = next(it)[0]          # (BI, 3)
-        x_all = next(it)[0]        # (N, 3)
-        nm_i = next(it)[0]         # (BI, 1) float
-        nm_all = next(it)[0]       # (N, 1) float
-        ysrc = next(it)[0]         # (N, S0) f32
-        vhs = next(it)[0]          # (3, N, h0) f32 coordinate-major
-        if has_dst:
-            ydst_i = next(it)[0]   # (BI, S0)
-            vhd_i = next(it)[0]    # (3, BI, h0)
+        x_i = next(it)[0]          # (BI, 3) f32
+        x_all = next(it)[0]        # (N, 3) f32
+        gid_i = next(it)[0]        # (BI, 1) f32 (graph id; < 0 = padding)
+        gid_all = next(it)[0]      # (N, 1) f32
+        ysrc = next(it)[0]         # (N, S0) dt
+        vhs = next(it)[0]          # (3, N, ncp + h0) dt coordinate-major
         if ncp:
-            vcps = next(it)[0]     # (3, N, 2ncp)
-            if has_dst:
-                vcpd_i = next(it)[0]
-        ef = next(it)[0] if spec.edge_feat_dim else None  # (BI, N, De)
+            vbs = next(it)[0]      # (3, N, ncp) dt
+        if has_dst:
+            ydst_i = next(it)[0]   # (BI, S0) dt
+            vhd_i = next(it)[0]    # (3, BI, ncp + h0) dt
+            if ncp:
+                vbd_i = next(it)[0]  # (3, BI, ncp) dt
+        ef = next(it)[0] if spec.edge_feat_dim else None  # (BI, N, De) dt
         w = {name: next(it)[...] for name in weight_names}
         out_s = next(it)
         out_v = next(it)
@@ -154,48 +168,44 @@ def _make_kernel(spec: MessageStackSpec, bi: int, n: int, dt, n_layers: int,
         diff = bcast_src(x_all) - bcast_dst(x_i)           # (P, 3)
         d2 = jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True), 1e-8)
         dij = jnp.sqrt(d2) + 1e-8                          # (P, 1)
-        xdu = diff / dij                                   # unit displacement
+        xdu = (diff / dij).astype(dt)                      # unit displacement
         rbf_mu = jax.lax.broadcasted_iota(
             jnp.int32, (1, spec.rbf_dim), 1).astype(jnp.float32) * rbf_step
-        d_rbf = jnp.exp(-jnp.square((dij - rbf_mu) / rbf_sigma))
+        d_rbf = jnp.exp(-jnp.square((dij - rbf_mu) / rbf_sigma)).astype(dt)
 
-        # ---- layer 0 (factored): vh = xdu*Wh[0] + per-node precomputes -----
-        wh0x = w["wh0"][0:1, :].astype(jnp.float32)         # (1, h0)
-        parts = []
-        for c in range(3):
-            vh_c = xdu[:, c:c + 1] * wh0x + bcast_src(vhs[c])
-            if has_dst:
-                vh_c = vh_c + bcast_dst(vhd_i[c])
-            parts.append(vh_c)
-        vh = jnp.concatenate(parts, axis=0).astype(dt)      # (3P, h0)
-        if ncp:
-            wcp0x = w["wcp0"][0:1, :].astype(jnp.float32)   # (1, 2ncp)
-            cparts = []
-            for c in range(3):
-                vcp_c = xdu[:, c:c + 1] * wcp0x + bcast_src(vcps[c])
-                if has_dst:
-                    vcp_c = vcp_c + bcast_dst(vcpd_i[c])
-                cparts.append(vcp_c)
-            vcp = jnp.concatenate(cparts, axis=0).astype(dt)  # (3P, 2ncp)
-            cp = _cross_stacked(vcp[:, :ncp], vcp[:, ncp:], p)
-            vh = jnp.concatenate([vh, cp], axis=-1)           # (3P, h0+ncp)
-
-        vu = _mm(vh, w["wu0"].astype(dt), dt)
-        sh = _norm_stacked(vh, p).astype(dt)
-
-        if spec.edge_feat_dim:
-            d_ef = jnp.concatenate(
-                [d_rbf.astype(dt), ef.reshape(p, -1).astype(dt)], -1)
-        else:
-            d_ef = d_rbf.astype(dt)
-        y = _mm(d_ef, w["k_edge"].astype(dt), dt)
-        y = y + _mm(sh, w["k_sh"].astype(dt), dt)
-        y = y + bcast_src(ysrc).astype(dt)
+        # ---- layer 0 (factored): x-sourced outer product + per-node mixes --
+        # vah0 = [a | vh] per coordinate; b0v separate (slice-free layout)
+        wx0 = w["l0x"]                                     # (1, ncp + h0)
+        parts = [xdu[:, c:c + 1] * wx0 + bcast_src(vhs[c]) for c in range(3)]
         if has_dst:
-            y = y + bcast_dst(ydst_i).astype(dt)
-        s = _silu(y + w["b0"].astype(dt), dt)
-        gate = _sigmoid(_mm(s, w["g0"].astype(dt), dt) + w["gb0"].astype(dt),
-                        dt)
+            parts = [pc + bcast_dst(vhd_i[c]) for c, pc in enumerate(parts)]
+        vah = jnp.concatenate(parts, axis=0)               # (3P, ncp + h0)
+        if ncp:
+            wxb0 = w["l0xb"]                               # (1, ncp)
+            bparts = [xdu[:, c:c + 1] * wxb0 + bcast_src(vbs[c])
+                      for c in range(3)]
+            if has_dst:
+                bparts = [pc + bcast_dst(vbd_i[c])
+                          for c, pc in enumerate(bparts)]
+            bv = jnp.concatenate(bparts, axis=0)           # (3P, ncp)
+            cp = _cross_stacked(vah[:, :ncp], bv, p)
+            vu = _mm(vah, w["wu0"], dt) + _mm(cp, w["wucp0"], dt)
+            sh_cp = _norm_stacked(cp, p).astype(dt)
+        else:
+            vu = _mm(vah, w["wu0"], dt)
+
+        sh = _norm_stacked(vah, p).astype(dt)              # [|a| | |vh|]
+        y = _mm(d_rbf, w["k_rbf"], dt)
+        if spec.edge_feat_dim:
+            y = y + _mm(ef.reshape(p, -1), w["k_ef"], dt)
+        y = y + _mm(sh, w["k0"], dt)
+        if ncp:
+            y = y + _mm(sh_cp, w["kcp0"], dt)
+        y = y + bcast_src(ysrc)
+        if has_dst:
+            y = y + bcast_dst(ydst_i)
+        s = _silu(y + w["b0"], dt)
+        gate = _sigmoid(_mm(s, w["g0"], dt) + w["gb0"], dt)
         v = _rep3(gate) * vu
 
         # ---- remaining layers ----------------------------------------------
@@ -204,10 +214,10 @@ def _make_kernel(spec: MessageStackSpec, bi: int, n: int, dt, n_layers: int,
 
         # ---- mask + aggregate over sources (f32 accumulation) --------------
         p_idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        gi = i_blk * bi + p_idx // n
-        gj = jnp.remainder(p_idx, n)
-        maskf = (bcast_dst(nm_i) * bcast_src(nm_all) *
-                 (gi != gj).astype(jnp.float32))
+        same_node = (i_blk * bi + p_idx // n) == jnp.remainder(p_idx, n)
+        gd = bcast_dst(gid_i)
+        gs = bcast_src(gid_all)
+        maskf = ((gd == gs) & (gd >= 0.0) & ~same_node).astype(jnp.float32)
 
         s32 = s.astype(jnp.float32) * maskf
         out_s[0] = jnp.sum(s32.reshape(bi, n, -1), axis=1) / z
@@ -217,82 +227,157 @@ def _make_kernel(spec: MessageStackSpec, bi: int, n: int, dt, n_layers: int,
     return kernel
 
 
+def _pick_bi(n: int, target_pairs: int = 2048) -> int:
+    """Pick the destination-rows-per-cell block size.
+
+    Mosaic requires the block's sublane dim to be a multiple of 8 or equal
+    to the array dim, so bi must divide n AND (bi % 8 == 0 or bi == n).
+    Among valid choices prefer the largest with bi * n <= target_pairs
+    (VMEM-sized at bf16; P > ~3k pairs fails remote compile on the v5e);
+    fall back to the smallest valid block when none fits the target."""
+    valid = [d for d in range(1, n + 1)
+             if n % d == 0 and (d % 8 == 0 or d == n)]
+    fitting = [d for d in valid if d * n <= target_pairs]
+    return max(fitting) if fitting else min(valid)
+
+
 def pallas_message_agg(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
-                       x, ef, node_mask, dtype=None, bi: int = 8):
+                       x, ef, node_mask, dtype=None, bi: Optional[int] = None):
     """Drop-in replacement for xla_message_agg (same weights, same outputs).
 
-    `bi`: destination rows per grid step.  Requires N % bi == 0 and
-    bi * N % 8 == 0 (sublane alignment of coordinate row blocks); when N is
-    not divisible by the requested bi, bi is halved until it divides N
-    (warning emitted — a degraded grid of small row blocks loses the kernel's
-    tiling benefit).
+    `node_mask`: (B, N) bool validity mask OR int graph-id array (packed
+    rows — graphs.is_graph_ids convention: ids >= 0, padding -1).
+    `bi`: destination rows per grid cell; default picks the largest divisor
+    of N with bi * N <= 2048 pairs (VMEM-sized at bf16).
     """
     if spec.message_norm == "mean":
         raise NotImplementedError("pallas path supports 'sum'/const norm")
     dt = dtype or jnp.float32
     B, n = sc.shape[:2]
-    requested_bi = bi
-    while n % bi:
-        bi //= 2
-    if bi != requested_bi:
-        import warnings
-        warnings.warn(
-            f"pallas_message_agg: reduced bi {requested_bi} -> {bi} so it "
-            f"divides N={n}; grid degrades to {bi}-row blocks", stacklevel=2)
-    assert bi >= 1 and (bi * n) % 8 == 0, (n, bi)
+    if bi is None:
+        bi = _pick_bi(n)
+    elif n % bi or (bi % 8 and bi != n):
+        valid = [d for d in range(1, n + 1)
+                 if n % d == 0 and (d % 8 == 0 or d == n)]
+        below = [d for d in valid if d <= bi]
+        bi = max(below) if below else min(valid)
     ncp = spec.n_cp_feats
     h0 = spec.h0
     has_dst = spec.s_dst > 0
     n_layers = len(spec.dims)
     _, v_out_last, _, s_out_last = spec.dims[-1]
 
-    # ---- per-node precomputations (XLA; O(N) work) -------------------------
-    wh0 = w["wh0"]
-    ysrc = sc @ w["k_src"]                                  # (B,N,S0)
-    vhs = jnp.einsum("bnvc,vh->bcnh", vc, wh0[1:1 + spec.v_msg])  # (B,3,N,h0)
-    nm = node_mask.astype(jnp.float32)[..., None]  # (B, N, 1)
-    inputs = [x, x, nm, nm, ysrc, vhs]
+    if jnp.issubdtype(node_mask.dtype, jnp.integer):
+        gid = node_mask.astype(jnp.float32)
+    else:
+        gid = jnp.where(node_mask, 0.0, -1.0)
+    gid = gid[..., None]                                    # (B, N, 1)
+
+    # ---- merged, pre-cast, slice-free weights --------------------------------
+    # the kernel's channel mixes emit [a | vh]; Wu/K carry zero rows for the
+    # a-block so no tensor is ever lane-sliced at a nonzero offset in-kernel
+    wh0, wu0 = w["wh0"], w["wu0"]
+    wcp0 = w.get("wcp0")
+    h0 = spec.h0
+    kw = {}
+
+    def zrows(n_z, m):
+        return jnp.concatenate([jnp.zeros((n_z, m.shape[1]), m.dtype), m], 0)
+
+    if ncp:
+        wcpa0, wcpb0 = wcp0[:, :ncp], wcp0[:, ncp:]
+        kw["l0x"] = jnp.concatenate([wcpa0[0:1], wh0[0:1]], axis=1)
+        kw["l0xb"] = wcpb0[0:1]
+        wsrc0 = jnp.concatenate([wcpa0[1:1 + spec.v_msg],
+                                 wh0[1:1 + spec.v_msg]], axis=1)
+        wsrcb0 = wcpb0[1:1 + spec.v_msg]
+        kw["wu0"] = zrows(ncp, wu0[:h0])
+        kw["wucp0"] = wu0[h0:]
+        kw["k0"] = zrows(ncp, w["k_sh"][:h0])
+        kw["kcp0"] = w["k_sh"][h0:]
+    else:
+        kw["l0x"] = wh0[0:1]
+        wsrc0 = wh0[1:1 + spec.v_msg]
+        wsrcb0 = None
+        kw["wu0"] = wu0
+        kw["k0"] = w["k_sh"]
+    kw["k_rbf"] = w["k_edge"][:spec.rbf_dim]
+    if spec.edge_feat_dim:
+        kw["k_ef"] = w["k_edge"][spec.rbf_dim:]
+    kw["b0"] = w["b0"][None, :]
+    kw["g0"] = w["g0"]
+    kw["gb0"] = w["gb0"][None, :]
+    for li in range(1, n_layers):
+        v_in, v_out, s_in, s_out = spec.dims[li]
+        h = max(v_in, v_out)
+        if ncp:
+            wcp = w[f"wcp{li}"]
+            kw[f"wah{li}"] = jnp.concatenate(
+                [wcp[:, :ncp], w[f"wh{li}"]], axis=1)
+            kw[f"wcpb{li}"] = wcp[:, ncp:]
+            wu = w[f"wu{li}"]
+            kw[f"wu{li}"] = zrows(ncp, wu[:h])
+            kw[f"wucp{li}"] = wu[h:]
+            k = w[f"k{li}"]
+            kw[f"k{li}"] = jnp.concatenate(
+                [k[:s_in], jnp.zeros((ncp, k.shape[1]), k.dtype),
+                 k[s_in:s_in + h]], axis=0)
+            kw[f"kcp{li}"] = k[s_in + h:]
+        else:
+            kw[f"wah{li}"] = w[f"wh{li}"]
+            kw[f"wu{li}"] = w[f"wu{li}"]
+            kw[f"k{li}"] = w[f"k{li}"]
+        kw[f"b{li}"] = w[f"b{li}"][None, :]
+        kw[f"g{li}"] = w[f"g{li}"]
+        kw[f"gb{li}"] = w[f"gb{li}"][None, :]
+    kw = {k: v.astype(dt) for k, v in kw.items()}
+
+    # ---- per-node precomputations (XLA; O(B*N) work) ------------------------
+    ysrc = (sc @ w["k_src"]).astype(dt)                     # (B, N, S0)
+    vhs = jnp.einsum("bnvc,vh->bcnh", vc, wsrc0).astype(dt)  # (B,3,N,ncp+h0)
+    inputs = [x, x, gid, gid, ysrc, vhs]
     in_specs = [
         pl.BlockSpec((1, bi, 3), lambda b, i: (b, i, 0)),
         pl.BlockSpec((1, n, 3), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((1, bi, 1), lambda b, i: (b, i, 0)),
         pl.BlockSpec((1, n, 1), lambda b, i: (b, 0, 0)),
         pl.BlockSpec((1, n, ysrc.shape[-1]), lambda b, i: (b, 0, 0)),
-        pl.BlockSpec((1, 3, n, h0), lambda b, i: (b, 0, 0, 0)),
+        pl.BlockSpec((1, 3, n, vhs.shape[-1]), lambda b, i: (b, 0, 0, 0)),
     ]
+    if ncp:
+        vbs = jnp.einsum("bnvc,vh->bcnh", vc, wsrcb0).astype(dt)
+        inputs.append(vbs)
+        in_specs.append(pl.BlockSpec((1, 3, n, ncp), lambda b, i: (b, 0, 0, 0)))
     if has_dst:
-        ydst = s_dst @ w["k_dst"]
-        vhd = jnp.einsum("bnvc,vh->bcnh", v_dst, wh0[1 + spec.v_msg:])
+        wh0d = wh0[1 + spec.v_msg:]
+        if ncp:
+            wd = jnp.concatenate([wcp0[1 + spec.v_msg:, :ncp], wh0d], axis=1)
+        else:
+            wd = wh0d
+        ydst = (s_dst @ w["k_dst"]).astype(dt)
+        vhd = jnp.einsum("bnvc,vh->bcnh", v_dst, wd).astype(dt)
         inputs += [ydst, vhd]
         in_specs += [
             pl.BlockSpec((1, bi, ydst.shape[-1]), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, 3, bi, h0), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, 3, bi, vhd.shape[-1]), lambda b, i: (b, 0, i, 0)),
         ]
-    if ncp:
-        wcp0 = w["wcp0"]
-        vcps = jnp.einsum("bnvc,vp->bcnp", vc, wcp0[1:1 + spec.v_msg])
-        inputs.append(vcps)
-        in_specs.append(pl.BlockSpec((1, 3, n, 2 * ncp),
-                                     lambda b, i: (b, 0, 0, 0)))
-        if has_dst:
-            vcpd = jnp.einsum("bnvc,vp->bcnp", v_dst, wcp0[1 + spec.v_msg:])
-            inputs.append(vcpd)
-            in_specs.append(pl.BlockSpec((1, 3, bi, 2 * ncp),
+        if ncp:
+            vbd = jnp.einsum("bnvc,vh->bcnh", v_dst,
+                             wcp0[1 + spec.v_msg:, ncp:]).astype(dt)
+            inputs.append(vbd)
+            in_specs.append(pl.BlockSpec((1, 3, bi, ncp),
                                          lambda b, i: (b, 0, i, 0)))
     if spec.edge_feat_dim:
-        inputs.append(ef)
+        inputs.append(ef.astype(dt))
         in_specs.append(pl.BlockSpec((1, bi, n, spec.edge_feat_dim),
                                      lambda b, i: (b, i, 0, 0)))
 
-    weight_names = [k for k in w if k not in ("k_src", "k_dst")]
+    weight_names = list(kw.keys())
     for name in weight_names:
-        arr = w[name]
-        if arr.ndim == 1:  # biases: keep refs >= 2-D for Mosaic
-            arr = arr[None, :]
+        arr = kw[name]
         inputs.append(arr)
-        nd = arr.ndim
-        in_specs.append(pl.BlockSpec(arr.shape,
-                                     functools.partial(_zero_idx, nd)))
+        in_specs.append(pl.BlockSpec(
+            arr.shape, functools.partial(lambda nd, b, i: (0,) * nd, arr.ndim)))
 
     out_shape = (
         jax.ShapeDtypeStruct((B, n, s_out_last), jnp.float32),
@@ -310,6 +395,8 @@ def pallas_message_agg(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(*inputs)
     # (B,3,N,V) -> (B,N,V,3)
     agg_v = jnp.transpose(agg_v, (0, 2, 3, 1))

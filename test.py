@@ -155,8 +155,8 @@ def main():
             fake_atoms=model.cfg.fake_atom_p > 0,
             explicit_aromaticity=model.cfg.explicit_aromaticity))
         if visualize:
-            from flowmol_tpu.analysis.molecule_builder import \
-                trajectory_xyz_frames
+            from flowmol_tpu.analysis.molecule_builder import (
+                trajectory_sdf, trajectory_xyz_frames)
             args.traj_dir.mkdir(parents=True, exist_ok=True)
             for m in range(node_mask.shape[0]):
                 for ep, flag in ((False, args.xt_traj), (True, args.ep_traj)):
@@ -169,6 +169,14 @@ def main():
                     tag = "ep" if ep else "xt"
                     fn = args.traj_dir / f"mol_{mol_counter + m}_{tag}.xyz"
                     fn.write_text("\n".join(frames) + "\n")
+                    # bonded trajectory (reference parity: per-step molecules
+                    # with bonds, written as SDF — test.py:224-259)
+                    sdf = trajectory_sdf(
+                        traj, m, node_mask, model.cfg.atom_type_map,
+                        endpoint=ep, fake_atoms=model.cfg.fake_atom_p > 0,
+                        ctmc_mol=model.cfg.discrete_cats)
+                    (args.traj_dir /
+                     f"mol_{mol_counter + m}_{tag}.sdf").write_text(sdf)
         mol_counter += node_mask.shape[0]
     sampling_time = time.time() - t0
     if args.profile:

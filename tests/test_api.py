@@ -153,3 +153,65 @@ def test_flowmol_compat_alias():
     import flowmol_tpu
     assert flowmol.load_pretrained is flowmol_tpu.load_pretrained
     assert flowmol.MolBatch is flowmol_tpu.MolBatch
+
+
+def test_trajectory_sdf_bonded():
+    """Bonded SDF trajectories (reference parity: per-step molecules with
+    bonds, molecule_builder.py:156-214 + test.py:224-259): every scan frame
+    renders as a V2000 mol block whose bond block comes from that frame's
+    edge tokens; charges appear as M CHG lines."""
+    from flowmol_tpu.analysis.molecule_builder import trajectory_sdf
+
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    results = bucketed_sample(model, params, np.array([6, 5]), seed=0,
+                              n_timesteps=5, buckets=(8,), visualize=True)
+    final, nm, traj = results[0]
+    sdf = trajectory_sdf(traj, 0, nm, cfg.atom_type_map, ctmc_mol=True)
+    records = [r for r in sdf.split("$$$$") if r.strip()]
+    assert len(records) == 4  # n_timesteps - 1 scan steps
+    for rec in records:
+        lines = rec.strip().splitlines()
+        counts = lines[3]
+        assert counts.endswith("V2000")
+        n_at, n_bd = int(counts[:3]), int(counts[3:6])
+        assert n_at == 6
+        atom_lines = lines[4:4 + n_at]
+        assert all(len(l.split()) >= 4 for l in atom_lines)
+        bond_lines = lines[4 + n_at:4 + n_at + n_bd]
+        for bl in bond_lines:
+            i, j, b = int(bl[:3]), int(bl[3:6]), int(bl[6:9])
+            assert 1 <= i <= n_at and 1 <= j <= n_at and 1 <= b <= 4
+        assert lines[-1] == "M  END"
+    # endpoint-predicted trajectory renders too
+    sdf_ep = trajectory_sdf(traj, 1, nm, cfg.atom_type_map, endpoint=True,
+                            ctmc_mol=True)
+    assert sdf_ep.count("$$$$") == 4
+    first_counts = sdf_ep.splitlines()[3]
+    assert int(first_counts[:3]) == 5
+
+
+def test_trajectory_sdf_continuous_dense_edges():
+    """Continuous parameterizations record dense simplex edge frames ('e',
+    not 'e_up'); the SDF writer extracts upper-triangle bonds from them."""
+    import dataclasses
+
+    from flowmol_tpu.analysis.molecule_builder import trajectory_sdf
+
+    cfg = tiny_config(parameterization="endpoint")
+    cfg = dataclasses.replace(cfg, prior_config={
+        "x": {"align": True, "type": "centered-normal", "kwargs": {"std": 1.0}},
+        "a": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+        "c": {"align": False, "type": "barycenter", "kwargs": {}},
+        "e": {"align": False, "type": "uniform-simplex", "kwargs": {}},
+    })
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    results = bucketed_sample(model, params, np.array([6]), seed=0,
+                              n_timesteps=4, buckets=(8,), visualize=True)
+    final, nm, traj = results[0]
+    assert "e_up" not in traj and "e" in traj
+    sdf = trajectory_sdf(traj, 0, nm, cfg.atom_type_map, ctmc_mol=False)
+    assert sdf.count("$$$$") == 3
+    assert sdf.splitlines()[3].endswith("V2000")

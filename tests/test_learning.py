@@ -148,10 +148,19 @@ def test_continuous_parameterizations_learn(param):
     assert m1["frac_atoms_stable"] > m0["frac_atoms_stable"] + 0.25
 
 
+def _tpu_present() -> bool:
+    try:
+        import jax
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 @pytest.mark.slow
-@pytest.mark.skipif(not os.environ.get("FLOWMOL_MEDIUM_ANCHOR"),
-                    reason="medium-scale anchor: ~10 min on a real TPU; "
-                           "set FLOWMOL_MEDIUM_ANCHOR=1 to run")
+@pytest.mark.skipif(
+    not (os.environ.get("FLOWMOL_MEDIUM_ANCHOR") or _tpu_present()),
+    reason="medium-scale anchor: ~10 min; runs automatically in the heavy "
+           "tier when a TPU is present, or set FLOWMOL_MEDIUM_ANCHOR=1")
 def test_endpoint_medium_scale_quality_anchor(tmp_path):
     """Medium-scale quality anchor (VERDICT r2 item 3): the toy anchors
     above verify "learns a little", which the round-2 vector-field run

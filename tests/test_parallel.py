@@ -169,3 +169,35 @@ def test_shard_local_batch_single_process_matches_pytree():
         assert x.shape == y.shape
         assert x.sharding == y.sharding
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_packed_sample_mesh_matches_unsharded():
+    """packed_sample(mesh=...) — the HEADLINE bench path — shards each
+    packed dispatch over the data axis and must return the same per-molecule
+    states as the unsharded path (VERDICT r3 missing #5)."""
+    from flowmol_tpu.api import packed_sample
+
+    cfg = tiny_config(parameterization="ctmc")
+    model = FlowMol(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = pmesh.make_mesh(8)
+
+    # 16 molecules packing into 8 rows of capacity 8 (2 per row): the row
+    # count equals the device count so sharded == unsharded exactly
+    sizes = np.array([5, 3, 4, 4, 6, 2, 5, 3, 4, 4, 3, 5, 2, 6, 4, 4])
+    ref = packed_sample(model, params, sizes, seed=5, n_timesteps=6,
+                        capacities=(8,), buckets=(8,))
+    shd = packed_sample(model, params, sizes, seed=5, n_timesteps=6,
+                        capacities=(8,), buckets=(8,), mesh=mesh)
+    assert len(ref) == len(shd) == len(sizes)
+    for r, s, n in zip(ref, shd, sizes):
+        assert r["x"].shape == s["x"].shape == (n, 3)
+        np.testing.assert_allclose(r["x"], s["x"], atol=1e-5)
+        for k in ("a", "c", "e"):
+            np.testing.assert_array_equal(r[k], s[k])
+
+    # ragged row count (not a multiple of 8): rows pad to the device count
+    shd9 = packed_sample(model, params, sizes[:9], seed=5, n_timesteps=6,
+                         capacities=(8,), buckets=(8,), mesh=mesh)
+    assert len(shd9) == 9
+    assert all(np.isfinite(m["x"]).all() for m in shd9)

@@ -12,8 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowmol_tpu.ops.pair_messages import (MessageStackSpec, xla_message_agg,
-                                           xla_message_agg_flat)
+from flowmol_tpu.ops.pair_messages import MessageStackSpec, xla_message_agg
 from flowmol_tpu.ops.pallas_messages import pallas_message_agg
 
 
@@ -112,15 +111,8 @@ def main():
             w, spec, sc, None, vc, None, x, ef, pair_mask, dtype=dt))
         t_xla, out_xla = timeit(xla_fn, w, sc, vc, x, ef, iters=args.iters)
 
-        flat_fn = jax.jit(lambda w, sc, vc, x, ef: xla_message_agg_flat(
-            w, spec, sc, None, vc, None, x, ef, pair_mask, dtype=dt))
-        t_flat, out_flat = timeit(flat_fn, w, sc, vc, x, ef, iters=args.iters)
-        err_f = max(float(jnp.max(jnp.abs(out_flat[0] - out_xla[0]))),
-                    float(jnp.max(jnp.abs(out_flat[1] - out_xla[1]))))
-
-        row = (f"B={B:3d} N={N:3d}  xla={t_xla*1e3:7.2f}ms"
-               f"  flat={t_flat*1e3:7.2f}ms({t_xla/t_flat:4.1f}x,e{err_f:.1e})")
-        for bi in [4, 8, 16, 32]:
+        row = f"B={B:3d} N={N:3d}  xla={t_xla*1e3:7.2f}ms"
+        for bi in [8, 16, 32]:
             if N % bi:
                 continue
             try:

@@ -1,20 +1,25 @@
 #!/usr/bin/env python
-"""Roofline analysis of the packed GEOM sampler (VERDICT r2 item 1).
+"""Roofline analysis of the packed GEOM sampler (VERDICT r2 item 1, rebuilt
+round 4 — the r3 version pulled FLOPs/bytes from XLA cost analysis of the
+WHOLE jitted scan, which counts the while-loop body ONCE, so its bounds were
+~n_timesteps too optimistic and its "81x gap" headline was an artifact).
 
-For each dispatch of the tiered packed plan on the reference protocol draw
-(n=100 from the GEOM size histogram, 250 steps, /root/reference/test.py:23-30)
-this compiles the sampler, pulls FLOPs and HBM bytes from XLA cost analysis,
-computes the v5e roofline bounds, and compares with measured wall time:
+Method now:
+  * per-step FLOPs / logical bytes come from cost analysis of a SINGLE
+    sampler step (one network forward + CTMC update) at each dispatch shape,
+    multiplied by the step count;
+  * measured wall comes from the real 250-step scan (np.asarray forces the
+    tunnel sync);
+  * bounds: t_mxu = flops/peak (bf16), t_hbm = logical bytes/bandwidth.
+    Logical bytes OVERSTATE real traffic (XLA fuses most elementwise
+    chains), so t_hbm is a pessimistic bound; t_mxu is the hard floor.
 
-    t_mxu  = flops / peak_flops          (bf16 MXU bound)
-    t_hbm  = bytes / hbm_bandwidth       (memory bound)
-    bound  = max(t_mxu, t_hbm)           which one binds says what to fix
-
-A sampler whose measured time sits near t_hbm with t_hbm >> t_mxu is
-bandwidth-bound: more MFU is not available without cutting bytes (fusion,
-bf16 pair tensors, smaller materialized intermediates) — that is the
-honest "speed of light" for this architecture shape, and the number the
-bench headline should be judged against.
+Round-4 finding this tool should be read with: the sampler is NOT
+HBM-bound.  Both the XLA path and a fused VMEM-resident Pallas kernel
+plateau at ~3.4 ms per conv at (43,64) — ~3x the K/N-padded MXU bound —
+because the GVP message stack's 32-41-channel vector ops occupy half a
+(8,128) lane tile and its ~21 small matmuls serialize.  See
+tools/bench_message_kernel.py and PARITY.md (round-4 sampler roofline).
 
 Usage:  python tools/roofline_sampler.py [--n_mols 100] [--steps 250]
 Writes one JSON line to stdout; run on an OTHERWISE IDLE chip.
@@ -58,19 +63,46 @@ def main():
     sizes = hist.sample(rng, args.n_mols)
     tiers, oversized = pack_sizes(sizes)
 
+    def one_step_cost(gids):
+        """Per-step FLOPs/bytes = cost analysis of ONE network forward (the
+        scan body's dominant term; the CTMC token update it excludes is <5%
+        of step FLOPs).  Analyzing the scan itself is wrong: XLA cost
+        analysis counts a while-loop body once regardless of trip count."""
+        B, n = gids.shape
+        cfg = model.cfg
+        nm = jnp.asarray(gids)
+        x = jnp.zeros((B, n, 3))
+        a = jnp.zeros((B, n), jnp.int32)
+        c = jnp.zeros((B, n), jnp.int32)
+        e = jnp.zeros((B, n, n), jnp.int32)
+        t = jnp.zeros((B,))
+        prev = {"x": x,
+                "a": jnp.zeros((B, n, cfg.n_atom_types)),
+                "c": jnp.zeros((B, n, cfg.n_atom_charges)),
+                "e": jnp.zeros((B, n, n, cfg.n_bond_types))}
+        fwd = jax.jit(lambda p, x, a, c, e, t: model.net.apply(
+            p, x, a, c, e, t, nm, prev_dst=prev, apply_softmax=True,
+            remove_com=True, deterministic=True))
+        ca = fwd.lower(params, x, a, c, e, t).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed",
+                                                          0.0))
+
     dispatches = []
-    total = {"flops": 0.0, "bytes": 0.0, "wall_s": 0.0}
+    total = {"flops": 0.0, "bytes": 0.0, "wall_s": 0.0, "mols": 0}
     for cap, rows in tiers:
-        for gids, cap_i, _ in packed_dispatch_plan(rows, cap, 128, 1):
+        for gids, cap_i, chunk in packed_dispatch_plan(
+                rows, cap, 128, 1):
+            n_mols_disp = sum(len(r) for r in chunk)
+            step_flops, step_bytes = one_step_cost(gids)
+            flops = step_flops * args.steps
+            nbytes = step_bytes * args.steps
             fn = jax.jit(model.make_sample_fn(
                 n_timesteps=args.steps, n_graphs_per_row=MAX_GRAPHS_PER_ROW))
             g_dev = jnp.asarray(gids)
-            compiled = fn.lower(params, jax.random.PRNGKey(0), g_dev).compile()
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops = float(ca.get("flops", 0.0))
-            nbytes = float(ca.get("bytes accessed", 0.0))
+            compiled = fn.lower(params, jax.random.PRNGKey(0),
+                                g_dev).compile()
             # warmup then measure (np.asarray forces the tunnel sync)
             jax.tree.map(np.asarray, compiled(params, jax.random.PRNGKey(1),
                                               g_dev))
@@ -82,38 +114,49 @@ def main():
             t_hbm = nbytes / HBM_BYTES_PER_S
             dispatches.append({
                 "shape": list(gids.shape),
-                "n_mols": sum(len(r) for r in rows),
+                "n_mols": n_mols_disp,
                 "gflops": round(flops / 1e9, 2),
-                "gbytes": round(nbytes / 1e9, 3),
+                "gbytes_logical": round(nbytes / 1e9, 3),
                 "t_mxu_s": round(t_mxu, 4),
-                "t_hbm_s": round(t_hbm, 4),
+                "t_hbm_logical_s": round(t_hbm, 4),
                 "bound": "hbm" if t_hbm > t_mxu else "mxu",
                 "t_bound_s": round(max(t_mxu, t_hbm), 4),
                 "wall_s": round(wall, 3),
                 "wall_over_bound": round(wall / max(t_mxu, t_hbm, 1e-9), 2),
+                "ns_per_pair_per_step": round(
+                    wall / args.steps
+                    / (gids.shape[0] * cap_i * cap_i) * 1e9, 2),
                 "arith_intensity_flops_per_byte": round(
                     flops / max(nbytes, 1.0), 2),
             })
             total["flops"] += flops
             total["bytes"] += nbytes
             total["wall_s"] += wall
+            total["mols"] += n_mols_disp
 
     t_mxu = total["flops"] / peak
     t_hbm = total["bytes"] / HBM_BYTES_PER_S
-    print(json.dumps({
+    summary = {
         "protocol": {"n_mols": args.n_mols, "steps": args.steps,
-                     "oversized": len(oversized), "dtype": dt},
+                     "oversized_excluded": len(oversized), "dtype": dt},
+        "method_note": ("per-step FLOPs/bytes from cost analysis of ONE "
+                        "network forward, x steps (CTMC token update "
+                        "excluded, <5%); bytes are LOGICAL (pre-fusion) so "
+                        "t_hbm is pessimistic; t_mxu is the hard floor"),
         "total_gflops": round(total["flops"] / 1e9, 2),
-        "total_gbytes": round(total["bytes"] / 1e9, 3),
+        "total_gbytes_logical": round(total["bytes"] / 1e9, 3),
         "t_mxu_s": round(t_mxu, 4),
-        "t_hbm_s": round(t_hbm, 4),
+        "t_hbm_logical_s": round(t_hbm, 4),
         "bound": "hbm" if t_hbm > t_mxu else "mxu",
         "roofline_mols_per_sec": round(
-            args.n_mols / max(t_mxu, t_hbm, 1e-9), 2),
-        "measured_mols_per_sec": round(args.n_mols / total["wall_s"], 2),
-        "wall_over_bound": round(total["wall_s"] / max(t_mxu, t_hbm, 1e-9), 2),
+            total["mols"] / max(t_mxu, t_hbm, 1e-9), 2),
+        "measured_mols_per_sec": round(
+            total["mols"] / max(total["wall_s"], 1e-9), 2),
+        "wall_over_bound": round(total["wall_s"] / max(t_mxu, t_hbm, 1e-9),
+                                 2),
         "dispatches": dispatches,
-    }))
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
