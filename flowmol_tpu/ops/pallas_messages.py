@@ -156,16 +156,35 @@ def _make_kernel(spec: MessageStackSpec, bi: int, n: int, dt, n_layers: int,
 
         p = bi * n
 
+        # ---- one-hot selectors: broadcasts and segment-sums as MXU matmuls.
+        # v3 used VPU sublane broadcast+reshape / reshape+reduce here; staged
+        # mini-kernels measured those at ~128 elems/cycle (~0.3ms per
+        # conv-shaped call), ~8x the elementwise bound, dwarfing the actual
+        # matmul work.  A (P, N) one-hot matmul does the same data movement
+        # through the MXU at ~6 rows/cycle.
+        row = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (p, n), 1)
+        sel_src = (jnp.remainder(row, n) == col).astype(dt)      # (P, N)
+        rowd = jax.lax.broadcasted_iota(jnp.int32, (p, bi), 0)
+        cold = jax.lax.broadcasted_iota(jnp.int32, (p, bi), 1)
+        sel_dst = ((rowd // n) == cold).astype(dt)               # (P, BI)
+
         def bcast_src(t):  # (N, C) -> (P, C): same source row for every dst
+            return _mm(sel_src, t.astype(dt), dt)
+
+        def bcast_dst(t):  # (BI, C) -> (P, C)
+            return _mm(sel_dst, t.astype(dt), dt)
+
+        def bcast_src_vpu(t):  # narrow (N, C<=3): VPU broadcast is fine
             return jnp.broadcast_to(t[None], (bi,) + t.shape).reshape(
                 p, t.shape[-1])
 
-        def bcast_dst(t):  # (BI, C) -> (P, C)
+        def bcast_dst_vpu(t):
             return jnp.broadcast_to(t[:, None], (bi, n, t.shape[-1])
                                     ).reshape(p, t.shape[-1])
 
         # ---- geometry (f32) -------------------------------------------------
-        diff = bcast_src(x_all) - bcast_dst(x_i)           # (P, 3)
+        diff = bcast_src_vpu(x_all) - bcast_dst_vpu(x_i)   # (P, 3)
         d2 = jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True), 1e-8)
         dij = jnp.sqrt(d2) + 1e-8                          # (P, 1)
         xdu = (diff / dij).astype(dt)                      # unit displacement
@@ -213,16 +232,28 @@ def _make_kernel(spec: MessageStackSpec, bi: int, n: int, dt, n_layers: int,
             s, v = _gvp_tail_layer(w, li, ncp, s, v, p, dt)
 
         # ---- mask + aggregate over sources (f32 accumulation) --------------
+        # the masked segment-sum over sources is a (BI, P) x (P, C) matmul
+        # with the mask folded into the one-hot dst selector: MXU does the
+        # reduction with f32 accumulation, no sublane reshape-reduce.
         p_idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         same_node = (i_blk * bi + p_idx // n) == jnp.remainder(p_idx, n)
-        gd = bcast_dst(gid_i)
-        gs = bcast_src(gid_all)
-        maskf = ((gd == gs) & (gd >= 0.0) & ~same_node).astype(jnp.float32)
+        gd = bcast_dst_vpu(gid_i)
+        gs = bcast_src_vpu(gid_all)
+        maskf = ((gd == gs) & (gd >= 0.0) & ~same_node).astype(dt)
 
-        s32 = s.astype(jnp.float32) * maskf
-        out_s[0] = jnp.sum(s32.reshape(bi, n, -1), axis=1) / z
-        v32 = v.astype(jnp.float32) * _rep3(maskf)
-        out_v[0] = jnp.sum(v32.reshape(3, bi, n, -1), axis=2) / z
+        selm = sel_dst * maskf                             # (P, BI)
+        dn = (((0,), (0,)), ((), ()))                      # contract dim 0
+        prec = (jax.lax.Precision.DEFAULT if dt == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        out_s[0] = jax.lax.dot_general(
+            selm, s, dn, preferred_element_type=jnp.float32,
+            precision=prec) / z                            # (BI, S)
+        vm = []
+        for c in range(3):
+            vm.append(jax.lax.dot_general(
+                selm, v[c * p:(c + 1) * p], dn,
+                preferred_element_type=jnp.float32, precision=prec))
+        out_v[0] = jnp.stack(vm, axis=0) / z               # (3, BI, V)
 
     return kernel
 
