@@ -5,24 +5,24 @@ from BASELINE.md), measured with the flowmol3 architecture.
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Reported fields (round-3: the headline is the PACKED sampler — multiple
-molecules per padded row, block-diagonal pair masks — which turns the
-reference protocol's fragmented dispatch into a few large ones):
-  * value                    — packed mols/s/chip on the reference protocol
-                               (n=100 drawn from the GEOM histogram, 250
-                               steps, /root/reference/test.py:23-30)
-  * bucketed_mols_per_sec    — the round-2 per-size-bucket path on the same
-                               draw, for continuity
-  * device_mols_per_sec      — packed dispatches repeated back-to-back,
-                               one final materialize: isolates chip compute
-                               from the tunnel/transfer link
-  * sampler_mfu_pct          — achieved FLOP/s from XLA cost analysis of the
-                               compiled packed sampler vs the chip's peak
-  * qm9_train_samples_per_sec_per_chip — flagship qm9 arch train steps
-                               through the PRODUCTION input pipeline
-                               (MoleculeDataModule.iter_split: BucketBatcher
-                               edge-budget batches, host OT coupling,
-                               threaded prefetch)
+Round-5 hardening (VERDICT r4 missing #1: the round-4 bench timed out and
+landed no number at all):
+  * the bench QUIESCES THE CHIP ITSELF: `tools/pause_runs.sh stop` on entry
+    (SIGSTOPs any supervised training pid trees), `cont` on every exit path;
+  * a persistent XLA compilation cache (same dir as tests/conftest.py) makes
+    every run after the first compile-free;
+  * a WALL-CLOCK BUDGET (`FLOWMOL_BENCH_BUDGET_S`, default 450 s) is enforced
+    by a watchdog thread that prints whatever has been measured so far and
+    exits 0 — a partial JSON always beats rc=124/no output.  Stages check the
+    remaining budget and skip themselves when short; the packed-sampling
+    headline compiles tier by tier (largest capacity first) and reroutes
+    not-yet-compiled tiers through the largest compiled shape rather than
+    paying another compile;
+  * one dispatch pipeline: the packed sampler is the single production path
+    (VERDICT r4 weak #3); the legacy bucketed comparison leg only runs with
+    FLOWMOL_BENCH_BUCKETED=1;
+  * sampler FLOPs come from ONE forward lowering, scaled to other tiers by
+    their padded-pair count (round 4 lowered a second program per dispatch).
 
 Sampling throughput is weight-independent (the compute graph is identical
 for random or trained weights), so this benchmarks the production sampling
@@ -33,18 +33,22 @@ and the reference stack cannot run in this image — no DGL): the reference's
 useful FLOPs for the same draw are estimated as our XLA-counted FLOPs scaled
 by the valid-pair fraction of the packed layout (the reference computes no
 padding: DGL edge lists are exact, and its molecular graphs are complete
-graphs like ours — flowmol/utils/build_mols.py edge construction), divided
-by A100 peak over a stated MFU range.  DGL scatter/gather message passing is
-bandwidth-bound; published MFU for such workloads is low single digits, so
-the range is [1%, 10%] of A100 TF32 peak (156 TFLOP/s).  `vs_baseline`
-compares against the FASTEST end of that range (10% MFU — generous to the
-reference); `vs_baseline_range` gives both ends.  All constants are emitted
-in the JSON so nothing is an unlabeled assumption.
+graphs like ours), divided by A100 peak over a stated MFU range.  All
+constants are emitted in the JSON so nothing is an unlabeled assumption.
 """
 
+import atexit
 import json
 import os
+import subprocess
+import sys
+import threading
 import time
+
+T0 = time.time()
+BUDGET_S = float(os.environ.get("FLOWMOL_BENCH_BUDGET_S", 450))
+# seconds to keep in reserve before starting one more full-network compile
+COMPILE_RESERVE_S = float(os.environ.get("FLOWMOL_BENCH_COMPILE_RESERVE_S", 90))
 
 # TPU v5e (v5 lite) MXU peak: 197 TFLOP/s bf16 / 98.5 TFLOP/s fp32.
 PEAK_FLOPS = {"float32": 98.5e12, "bfloat16": 197e12}
@@ -57,31 +61,300 @@ A100_TF32_PEAK = 156e12
 # NOTE the upper end is a deliberate over-estimate of the reference: its
 # sampler is a 250-iteration *Python* loop (flowmol.py:528-560) over ~400
 # small DGL kernel launches per step at batch 1-27, which lands well under
-# 1% MFU in practice — published DGL message-passing MFU is sub-1% even for
-# well-batched workloads.  vs_baseline against the 10% end is therefore a
-# LOWER bound on the true speedup; REF_MFU_REALISTIC gives the launch-bound
-# estimate (~0.1%) for context.
+# 1% MFU in practice.  vs_baseline against the 10% end is therefore a LOWER
+# bound on the true speedup under that assumption; REF_MFU_REALISTIC gives
+# the launch-bound estimate (~0.1%) for context.
 REF_MFU_RANGE = (0.01, 0.10)
 REF_MFU_REALISTIC = 0.001
 
 
-def _flops_of(fn, *args):
-    """FLOPs of one compiled invocation (XLA cost analysis), or None."""
-    try:
-        compiled = fn.lower(*args).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
 
 
-def _sampler_flops(model, params, gids, n_timesteps):
-    """True FLOPs of one packed sampling dispatch: XLA cost analysis of a
-    jitted while-loop counts the body ONCE (round-3's sampler_mfu_pct was
-    ~n_timesteps too low), so count ONE network forward and multiply by the
-    step count (the CTMC token update it excludes is <5% of step FLOPs)."""
+# ---------------------------------------------------------------------------
+# chip quiescence: stop supervised training pid trees for the bench window
+# (round 4 lost its number to trainings time-sharing the single chip)
+_PAUSE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tools", "pause_runs.sh")
+_resumed = [False]
+
+
+def _pause_runs(sig: str):
+    if os.path.exists(_PAUSE):
+        try:
+            subprocess.run(["bash", _PAUSE, sig], capture_output=True,
+                           timeout=30)
+        except Exception:
+            pass
+
+
+def _resume_runs():
+    if not _resumed[0]:
+        _resumed[0] = True
+        _pause_runs("cont")
+
+
+# ---------------------------------------------------------------------------
+# progressive result dict + watchdog: a JSON line is ALWAYS printed, even if
+# a compile blocks the main thread past the budget
+OUT = {
+    "metric": "geom_sampling_mols_per_sec_per_chip",
+    "value": None,
+    "unit": "molecules/sec/chip (250-step CTMC sampling, flowmol3 arch, "
+            "packed-row dispatch)",
+    "vs_baseline": None,
+}
+_done = threading.Event()
+_printed = threading.Event()
+
+
+def _emit():
+    if _printed.is_set():
+        return
+    _printed.set()
+    print(json.dumps(OUT), flush=True)
+
+
+def _watchdog():
+    wait = max(BUDGET_S - (time.time() - T0) - 5.0, 1.0)
+    if _done.wait(timeout=wait):
+        return
+    OUT.setdefault("partial", True)
+    OUT["budget_s"] = BUDGET_S
+    _resume_runs()
+    _emit()
+    os._exit(0)
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: the second-ever run of any shape is
+    # compile-free (tests/conftest.py:23-26 does the same for the suite)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_flowmol")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flowmol_tpu.api import (MAX_GRAPHS_PER_ROW, model_from_config,
+                                 pack_sizes, packed_dispatch_plan,
+                                 packed_sample, read_config_file)
+    from flowmol_tpu.data.stats import NAtomsDistribution
+
+    config = read_config_file("configs/flowmol3.yml")
+    model = model_from_config(config)
+    params = model.init_params(jax.random.PRNGKey(0))
+    compute_dtype = str(model.cfg.vf.compute_dtype or "float32")
+    peak = PEAK_FLOPS.get(compute_dtype, PEAK_FLOPS["float32"])
+    OUT["compute_dtype"] = compute_dtype
+
+    hist = NAtomsDistribution.load(
+        "assets/data/geom_full_kekulized/train_data_n_atoms_histogram.npz")
+    rng = np.random.default_rng(0)
+
+    # the reference protocol (test.py:23-30): n=100, 250 steps.  The env
+    # overrides exist so the bench *code path* can be smoke-tested cheaply
+    # (tiny draw, few steps) without waiting for full compiles.
+    n_mols = int(os.environ.get("FLOWMOL_BENCH_NMOLS", 100))
+    n_timesteps = int(os.environ.get("FLOWMOL_BENCH_STEPS", 250))
+    sizes = hist.sample(rng, n_mols)
+    # the perf story must cover the O(N^2) top of the GEOM range (VERDICT r1
+    # item 4): force at least two molecules into the large-size tail
+    if not (sizes >= 128).any():
+        sizes[:2] = (150, 181)
+    OUT["n_mols"] = n_mols
+    OUT["n_timesteps"] = n_timesteps
+
+    # ---- headline: packed sampling, compiled tier by tier -----------------
+    tiers, oversized = pack_sizes(sizes)
+    # oversized only occurs for >192-atom molecules (never on GEOM draws);
+    # route them into ad-hoc single-molecule tiers so one pipeline covers all
+    for idx, s in oversized:
+        cap = int(np.ceil(s / 8) * 8)
+        tiers.append((cap, [[(idx, s)]]))
+    tiers.sort(key=lambda t: -t[0])
+    OUT["pack_capacities"] = [c for c, _ in tiers]
+
+    cache = {}
+
+    def _compile_and_warm(gids, cap):
+        key = ("packed", gids.shape[0], cap, 1, None)
+        if key not in cache:
+            fn = model.make_sample_fn(n_timesteps=n_timesteps,
+                                      n_graphs_per_row=MAX_GRAPHS_PER_ROW)
+            cache[key] = jax.jit(fn)
+        out = cache[key](params, jax.random.PRNGKey(1), jnp.asarray(gids))
+        jax.tree.map(np.asarray, out)  # force completion
+        return key
+
+    compiled, rerouted = [], []
+    for cap, rows in tiers:
+        if compiled and remaining() < COMPILE_RESERVE_S:
+            rerouted.append((cap, rows))
+            continue
+        for gids, cap_i, _ in packed_dispatch_plan(rows, cap, 128, 1):
+            _compile_and_warm(gids, cap_i)
+        compiled.append((cap, rows))
+
+    if not rerouted:
+        # true headline: the full production call, one timed pass
+        t0 = time.time()
+        out = packed_sample(model, params, sizes, seed=2,
+                            n_timesteps=n_timesteps, sample_fn_cache=cache)
+        dt_packed = time.time() - t0
+        assert len(out) == n_mols and all(o is not None for o in out)
+        plan_tiers = tiers
+    else:
+        # budget fallback: molecules of un-compiled tiers re-pack into rows
+        # of the largest compiled capacity and dispatch through its compiled
+        # (B, cap) shape in B-row chunks; headline = sum of timed tier runs
+        big_cap, _ = compiled[0]
+        big_keys = [k for k in cache if k[2] == big_cap]
+        big_B = max(k[1] for k in big_keys)
+        fn_big = cache[("packed", big_B, big_cap, 1, None)]
+        mols_left = [it for _, rows in rerouted for row in rows for it in row]
+        re_tiers, _ = pack_sizes([s for _, s in mols_left],
+                                 capacities=(big_cap,))
+        t0 = time.time()
+        outs = []
+        for cap, rows in compiled:
+            for gids, cap_i, _ in packed_dispatch_plan(rows, cap, 128, 1):
+                key = ("packed", gids.shape[0], cap_i, 1, None)
+                outs.append(cache[key](params, jax.random.PRNGKey(2),
+                                       jnp.asarray(gids)))
+        for _, rows in re_tiers:
+            for i in range(0, len(rows), big_B):
+                chunk = rows[i:i + big_B]
+                gids = np.full((big_B, big_cap), -1, np.int32)
+                for r, row in enumerate(chunk):
+                    off = 0
+                    for g, (_, s) in enumerate(row):
+                        gids[r, off:off + s] = g
+                        off += s
+                outs.append(fn_big(params, jax.random.PRNGKey(3 + i),
+                                   jnp.asarray(gids)))
+        for o in outs:
+            jax.tree.map(np.asarray, o)
+        dt_packed = time.time() - t0
+        plan_tiers = compiled + re_tiers
+        OUT["tiers_rerouted"] = [c for c, _ in rerouted]
+
+    packed_mols_per_sec = n_mols / dt_packed
+    OUT["value"] = round(packed_mols_per_sec, 4)
+    OUT["wall_s"] = round(dt_packed, 3)
+    plan = [d for cap_t, rows_t in plan_tiers
+            for d in packed_dispatch_plan(rows_t, cap_t, 128, 1)]
+    OUT["packed_dispatches"] = [list(g.shape) for g, _, _ in plan]
+
+    # ---- sampler FLOPs: ONE forward lowering, pair-scaled to other tiers --
+    padded_pairs = sum(g.shape[0] * c * c for g, c, _ in plan)
+    valid_pairs = float(sum(s * s for _, rows_t in plan_tiers
+                            for row in rows_t for _, s in row))
+    valid_ratio = valid_pairs / padded_pairs
+    OUT["valid_pair_fraction"] = round(valid_ratio, 4)
+
+    total_flops = None
+    if remaining() > 45:
+        g0, cap0, _ = plan[0]
+        fl0 = _forward_flops(model, params, g0)
+        if fl0:
+            # per-dispatch FLOPs ~ padded pairs (pair terms dominate: the
+            # message stack is O(N^2 * C^2) vs O(N * C^2) node terms)
+            total_flops = sum(
+                fl0 * (g.shape[0] * c * c) / (g0.shape[0] * cap0 * cap0)
+                for g, c, _ in plan) * n_timesteps
+            OUT["sampler_flops_note"] = (
+                "XLA cost analysis of one forward, scaled to other tiers by "
+                "padded-pair count, x n_timesteps")
+
+    # ---- analytic A100 reference bound ------------------------------------
+    if total_flops:
+        ref_flops = total_flops * valid_ratio
+        baseline_lo = n_mols / (ref_flops / (A100_TF32_PEAK * REF_MFU_RANGE[0]))
+        baseline_hi = n_mols / (ref_flops / (A100_TF32_PEAK * REF_MFU_RANGE[1]))
+        baseline_rl = n_mols / (ref_flops / (A100_TF32_PEAK * REF_MFU_REALISTIC))
+        OUT["vs_baseline"] = round(packed_mols_per_sec / baseline_hi, 4)
+        OUT["vs_baseline_range"] = [round(packed_mols_per_sec / baseline_hi, 2),
+                                    round(packed_mols_per_sec / baseline_lo, 2)]
+        OUT["vs_baseline_realistic"] = round(packed_mols_per_sec / baseline_rl,
+                                             2)
+        OUT["baseline_mols_per_sec_range"] = [round(baseline_lo, 3),
+                                              round(baseline_hi, 3)]
+        OUT["vs_baseline_note"] = (
+            "analytic bound: ref useful FLOPs = ours x valid-pair fraction "
+            f"({valid_ratio:.3f}); A100 TF32 peak {A100_TF32_PEAK:.3g} at "
+            f"{REF_MFU_RANGE[0]:.0%}-{REF_MFU_RANGE[1]:.0%} MFU; vs_baseline "
+            "uses the 10% (fast-reference) end and is a LOWER bound on the "
+            "true speedup UNDER THE ASSUMED <=10% MFU CEILING (not "
+            "unconditional); vs_baseline_realistic assumes 0.1% reference "
+            "MFU — the reference's 250-iteration Python sampling loop over "
+            "small DGL launches (see BASELINE.md; neither side is "
+            "measurable in this GPU-less image)")
+
+    # ---- device-only throughput + MFU (repeat resident dispatches) --------
+    if remaining() > 40:
+        REPS = 3
+        dispatches = []
+        for gids, cap_i, _ in plan:
+            key = ("packed", gids.shape[0], cap_i, 1, None)
+            if key in cache:
+                dispatches.append((cache[key], jnp.asarray(gids)))
+        t0 = time.time()
+        outs = []
+        for rep in range(REPS):
+            for i, (fn, g_dev) in enumerate(dispatches):
+                outs.append(fn(params,
+                               jax.random.PRNGKey(100 + rep * 31 + i), g_dev))
+        for o in outs[-len(dispatches):]:
+            jax.tree.map(np.asarray, o)
+        dt_dev = time.time() - t0
+        OUT["device_mols_per_sec"] = round(REPS * n_mols / dt_dev, 4)
+        OUT["device_wall_s"] = round(dt_dev, 3)
+        if total_flops:
+            OUT["sampler_mfu_pct"] = round(
+                100.0 * REPS * total_flops / dt_dev / peak, 2)
+
+    # ---- legacy bucketed comparison (opt-in: costs ~11 extra compiles) ----
+    if os.environ.get("FLOWMOL_BENCH_BUCKETED") and remaining() > 240:
+        from flowmol_tpu.api import bucketed_sample
+        bcache = {}
+        bucketed_sample(model, params, sizes, seed=1, n_timesteps=n_timesteps,
+                        sample_fn_cache=bcache)
+        t0 = time.time()
+        bucketed_sample(model, params, sizes, seed=2, n_timesteps=n_timesteps,
+                        sample_fn_cache=bcache)
+        OUT["bucketed_mols_per_sec"] = round(n_mols / (time.time() - t0), 4)
+
+    # ---- saturated-batch serving throughput -------------------------------
+    if remaining() > 60:
+        qm9_hist = NAtomsDistribution.load(
+            "assets/data/qm9/train_data_n_atoms_histogram.npz")
+        qsizes = np.clip(qm9_hist.sample(rng, 128), 2, 32)
+        qfn = jax.jit(model.make_sample_fn(n_timesteps=n_timesteps))
+        qnm = jnp.asarray(np.arange(32)[None, :] < qsizes[:, None])
+        jax.tree.map(np.asarray, qfn(params, jax.random.PRNGKey(50), qnm))
+        t0 = time.time()
+        outs = [qfn(params, jax.random.PRNGKey(51 + r), qnm) for r in range(3)]
+        jax.tree.map(np.asarray, outs[-1])
+        OUT["qm9_sampling_mols_per_sec_saturated"] = round(
+            3 * 128 / (time.time() - t0), 2)
+
+    # ---- train throughput (secondary north-star) --------------------------
+    if remaining() > 120:
+        try:
+            sps, mfu, split = _bench_train_throughput()
+            OUT["qm9_train_samples_per_sec_per_chip"] = sps
+            OUT["train_step_mfu_pct"] = mfu
+            OUT["train_host_device_split"] = split
+        except Exception as e:  # train bench must never sink the headline
+            OUT["train_bench_error"] = repr(e)
+
+
+def _forward_flops(model, params, gids):
+    """XLA-counted FLOPs of one packed network forward (cost analysis)."""
     import jax
     import jax.numpy as jnp
     try:
@@ -100,193 +373,13 @@ def _sampler_flops(model, params, gids, n_timesteps):
         fwd = jax.jit(lambda p, x, a, c, e, t: model.net.apply(
             p, x, a, c, e, t, nm, prev_dst=prev, apply_softmax=True,
             remove_com=True, deterministic=True))
-        fl = _flops_of(fwd, params, x, a, c, e, t)
-        return fl * n_timesteps if fl else None
+        compiled = fwd.lower(params, x, a, c, e, t).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
     except Exception:
         return None
-
-
-def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from flowmol_tpu.api import (bucketed_sample, model_from_config,
-                                 pack_sizes, packed_dispatch_plan,
-                                 packed_sample, read_config_file)
-    from flowmol_tpu.data.stats import NAtomsDistribution
-
-    config = read_config_file("configs/flowmol3.yml")
-    model = model_from_config(config)
-    params = model.init_params(jax.random.PRNGKey(0))
-    compute_dtype = str(model.cfg.vf.compute_dtype or "float32")
-    peak = PEAK_FLOPS.get(compute_dtype, PEAK_FLOPS["float32"])
-
-    hist = NAtomsDistribution.load(
-        "assets/data/geom_full_kekulized/train_data_n_atoms_histogram.npz")
-    rng = np.random.default_rng(0)
-
-    # the reference protocol (test.py:23-30): n=100, 250 steps.  The env
-    # overrides exist so the bench *code path* can be smoke-tested cheaply
-    # (tiny draw, few steps) without waiting for full compiles.
-    n_mols = int(os.environ.get("FLOWMOL_BENCH_NMOLS", 100))
-    n_timesteps = int(os.environ.get("FLOWMOL_BENCH_STEPS", 250))
-    sizes = hist.sample(rng, n_mols)
-    # the perf story must cover the O(N^2) top of the GEOM range (VERDICT r1
-    # item 4): force at least two molecules into the large-size tail
-    if not (sizes >= 128).any():
-        sizes[:2] = (150, 181)
-
-    # ---- headline: packed sampling (multi-molecule rows) ------------------
-    cache = {}
-    packed_sample(model, params, sizes, seed=1, n_timesteps=n_timesteps,
-                  sample_fn_cache=cache)  # compile + warmup
-    t0 = time.time()
-    out = packed_sample(model, params, sizes, seed=2, n_timesteps=n_timesteps,
-                        sample_fn_cache=cache)
-    dt_packed = time.time() - t0
-    assert len(out) == n_mols and all(o is not None for o in out)
-    packed_mols_per_sec = n_mols / dt_packed
-
-    # ---- round-2 comparison: per-size-bucket path --------------------------
-    bcache = {}
-    bucketed_sample(model, params, sizes, seed=1, n_timesteps=n_timesteps,
-                    sample_fn_cache=bcache)
-    t0 = time.time()
-    results = bucketed_sample(model, params, sizes, seed=2,
-                              n_timesteps=n_timesteps, sample_fn_cache=bcache)
-    dt_bucketed = time.time() - t0
-    assert sum(nm.shape[0] for _, nm, _ in results) == n_mols
-    bucketed_mols_per_sec = n_mols / dt_bucketed
-
-    # ---- device-only throughput + MFU (packed dispatches) -----------------
-    # (molecules the planner routes through the oversized/bucket path are
-    # excluded here — they're covered by the wall-clock headline above)
-    tiers, oversized = pack_sizes(sizes)
-    plan = [d for cap_t, rows_t in tiers
-            for d in packed_dispatch_plan(rows_t, cap_t, 128, 1)]
-    mols_in_plan = sum(len(r) for _, rows_t in tiers for r in rows_t)
-    packed_sizes_arr = np.asarray(
-        [s for _, rows_t in tiers for row in rows_t for _, s in row],
-        np.int64)
-    REPS = 3
-    total_flops = 0.0
-    flops_known = True
-    dispatches = []
-    for gids, cap_i, _ in plan:
-        key = ("packed", gids.shape[0], cap_i, 1, None)
-        fn = cache[key]
-        g_dev = jnp.asarray(gids)
-        fl = _sampler_flops(model, params, gids, n_timesteps)
-        if fl is None:
-            flops_known = False
-        else:
-            total_flops += fl
-        dispatches.append((fn, g_dev))
-    t0 = time.time()
-    outs = []
-    for rep in range(REPS):
-        for i, (fn, g_dev) in enumerate(dispatches):
-            outs.append(fn(params, jax.random.PRNGKey(100 + rep * 31 + i),
-                           g_dev))
-    # force completion (block_until_ready is unreliable over the axon tunnel)
-    for o in outs[-len(dispatches):]:
-        jax.tree.map(np.asarray, o)
-    dt_dev = time.time() - t0
-    device_mols_per_sec = REPS * mols_in_plan / dt_dev
-    mfu_pct = (round(100.0 * REPS * total_flops / dt_dev / peak, 2)
-               if flops_known and total_flops else None)
-
-    # ---- analytic A100 reference bound -------------------------------------
-    # useful-work fraction of the packed layout: valid (same-molecule) pairs
-    # over padded pairs — the reference's DGL edge lists compute exactly the
-    # valid pairs, no padding
-    padded_pairs = sum(g.shape[0] * c * c for g, c, _ in plan)
-    valid_pairs = float(np.sum(packed_sizes_arr ** 2))
-    valid_ratio = valid_pairs / padded_pairs
-    if flops_known and total_flops:
-        ref_flops = total_flops * valid_ratio  # for the packed molecules
-        baseline_lo = mols_in_plan / (ref_flops
-                                      / (A100_TF32_PEAK * REF_MFU_RANGE[0]))
-        baseline_hi = mols_in_plan / (ref_flops
-                                      / (A100_TF32_PEAK * REF_MFU_RANGE[1]))
-        vs_baseline = round(packed_mols_per_sec / baseline_hi, 4)
-        vs_baseline_range = [round(packed_mols_per_sec / baseline_hi, 2),
-                             round(packed_mols_per_sec / baseline_lo, 2)]
-        baseline_realistic = mols_in_plan / (
-            ref_flops / (A100_TF32_PEAK * REF_MFU_REALISTIC))
-        vs_baseline_realistic = round(packed_mols_per_sec / baseline_realistic,
-                                      2)
-        baseline_note = (
-            "analytic bound: ref useful FLOPs = ours x valid-pair fraction "
-            f"({valid_ratio:.3f}); A100 TF32 peak {A100_TF32_PEAK:.3g} at "
-            f"{REF_MFU_RANGE[0]:.0%}-{REF_MFU_RANGE[1]:.0%} MFU; "
-            "vs_baseline uses the 10% (fast-reference) end and is a LOWER "
-            "bound on the true speedup UNDER THE ASSUMED <=10% MFU CEILING "
-            "(not unconditional); vs_baseline_realistic is an ESTIMATE under "
-            "an assumed 0.1% reference MFU — the reference's 250-iteration "
-            "Python sampling loop over small DGL launches (see BASELINE.md "
-            "for the assumption's basis; neither side is measurable in this "
-            "GPU-less image)")
-    else:
-        baseline_lo = baseline_hi = None
-        vs_baseline = None
-        vs_baseline_range = None
-        vs_baseline_realistic = None
-        baseline_note = "cost analysis unavailable on this backend"
-
-    # ---- saturated-batch serving throughput --------------------------------
-    qm9_hist = NAtomsDistribution.load(
-        "assets/data/qm9/train_data_n_atoms_histogram.npz")
-    qsizes = np.clip(qm9_hist.sample(rng, 128), 2, 32)
-    qfn = jax.jit(model.make_sample_fn(n_timesteps=n_timesteps))
-    qnm = jnp.asarray(np.arange(32)[None, :] < qsizes[:, None])
-    jax.tree.map(np.asarray, qfn(params, jax.random.PRNGKey(50), qnm))
-    t0 = time.time()
-    outs = [qfn(params, jax.random.PRNGKey(51 + r), qnm) for r in range(3)]
-    jax.tree.map(np.asarray, outs[-1])
-    sat_mols_per_sec = 3 * 128 / (time.time() - t0)
-
-    train_sps, train_mfu, train_split = _bench_train_throughput()
-
-    # headline = max(packed, bucketed): a packing-planner regression must
-    # never silently lower the headline (VERDICT r3 weak #1/#2)
-    headline = max(packed_mols_per_sec, bucketed_mols_per_sec)
-    headline_path = ("packed" if packed_mols_per_sec >= bucketed_mols_per_sec
-                     else "bucketed")
-    print(json.dumps({
-        "metric": "geom_sampling_mols_per_sec_per_chip",
-        "value": round(headline, 4),
-        "unit": "molecules/sec/chip (250-step CTMC sampling, flowmol3 arch, "
-                "best of packed/bucketed dispatch)",
-        "headline_path": headline_path,
-        "packed_mols_per_sec": round(packed_mols_per_sec, 4),
-        "vs_baseline": vs_baseline,
-        "vs_baseline_range": vs_baseline_range,
-        "vs_baseline_realistic": vs_baseline_realistic,
-        "vs_baseline_note": baseline_note,
-        "baseline_mols_per_sec_range": ([round(baseline_lo, 3),
-                                         round(baseline_hi, 3)]
-                                        if baseline_lo else None),
-        "bucketed_mols_per_sec": round(bucketed_mols_per_sec, 4),
-        "device_mols_per_sec": round(device_mols_per_sec, 4),
-        "sampler_mfu_pct": mfu_pct,
-        "compute_dtype": compute_dtype,
-        "n_mols": n_mols,
-        "n_timesteps": n_timesteps,
-        "pack_capacities": [c for c, _ in tiers],
-        "packed_dispatches": [list(g.shape) for g, _, _ in plan],
-        "mols_packed": mols_in_plan,
-        "mols_oversized": len(oversized),
-        "valid_pair_fraction": round(valid_ratio, 4),
-        "wall_s": round(dt_packed, 3),
-        "bucketed_wall_s": round(dt_bucketed, 3),
-        "device_wall_s": round(dt_dev, 3),
-        "qm9_sampling_mols_per_sec_saturated": round(sat_mols_per_sec, 2),
-        "qm9_train_samples_per_sec_per_chip": train_sps,
-        "train_step_mfu_pct": train_mfu,
-        "train_host_device_split": train_split,
-    }))
 
 
 def _bench_train_throughput(n_steps: int = 30):
@@ -317,7 +410,6 @@ def _bench_train_throughput(n_steps: int = 30):
             config["dataset"]["processed_data_dir"] = cand
             break
     else:
-        import subprocess
         subprocess.run(["python", "tools/make_synthetic_data.py", "--out",
                         "data/synthetic_qm9", "--n", "2000"], check=True)
         config["dataset"]["processed_data_dir"] = "data/synthetic_qm9"
@@ -337,14 +429,16 @@ def _bench_train_throughput(n_steps: int = 30):
 
     it = batches()
 
-    # warmup: compile every bucket shape the batcher emits (one epoch of
-    # shapes is enough; qm9 sizes span few buckets)
+    # warmup: compile the bucket shapes the batcher emits, budget-aware
     seen = set()
     first = None
+    m = None
     for tb in dm.iter_split("train", np_rng):
         shape = tb.node_mask.shape
         if shape in seen:
             continue
+        if first is not None and remaining() < 60:
+            break
         seen.add(shape)
         tb_dev = jax.tree.map(jnp.asarray, tb)
         state, m = step(state, tb_dev, jax.random.PRNGKey(1), jnp.asarray(0.0))
@@ -354,8 +448,16 @@ def _bench_train_throughput(n_steps: int = 30):
             break
     float(np.asarray(m["total_train_loss"]))
 
-    step_flops = _flops_of(step, state, first, jax.random.PRNGKey(1),
-                           jnp.asarray(0.0))
+    step_flops = None
+    try:
+        compiled = step.lower(state, first, jax.random.PRNGKey(1),
+                              jnp.asarray(0.0)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     # device-only: repeat one resident batch back-to-back
     t0 = time.time()
@@ -385,4 +487,12 @@ def _bench_train_throughput(n_steps: int = 30):
 
 
 if __name__ == "__main__":
-    main()
+    _pause_runs("stop")
+    atexit.register(_resume_runs)
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        main()
+    finally:
+        _done.set()
+        _resume_runs()
+        _emit()

@@ -300,7 +300,6 @@ class GVPConv(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
-    message_layout: str = "pair_minor"  # 'pair_minor' | 'cf' (see VectorFieldConfig)
 
     @nn.compact
     def __call__(self, s, v, ef, x, x_diff, d, pair_mask, node_mask,
@@ -372,8 +371,7 @@ class GVPConv(nn.Module):
             # path and the fused Pallas kernel (flowmol_tpu/ops)
             from flowmol_tpu.ops.pair_messages import (MessageStackSpec,
                                                        init_weights,
-                                                       xla_message_agg,
-                                                       xla_message_agg_cf)
+                                                       xla_message_agg)
             spec = MessageStackSpec(
                 s_msg=s_msg, v_msg=v_msg, s_dst=s_dst_dim, v_dst=v_dst_dim,
                 rbf_dim=self.rbf_dim, rbf_dmax=self.rbf_dmax,
@@ -389,10 +387,6 @@ class GVPConv(nn.Module):
                 from flowmol_tpu.ops.pallas_messages import pallas_message_agg
                 agg_s, agg_v = pallas_message_agg(
                     wmsg, spec, sc, s_dst, vc, v_dst, x, ef, node_mask,
-                    dtype=dt)
-            elif self.message_layout == "cf":
-                agg_s, agg_v = xla_message_agg_cf(
-                    wmsg, spec, sc, s_dst, vc, v_dst, x, ef, pair_mask,
                     dtype=dt)
             else:
                 agg_s, agg_v = xla_message_agg(

@@ -71,16 +71,6 @@ class VectorFieldConfig:
     remat: bool = True
     # use the fused Pallas message kernel on deterministic (inference) passes
     use_pallas: bool = False
-    # physical layout of the per-pair message intermediates:
-    #   'pair_minor' — reference-shaped (B, N, N, ch[, 3]) (default): XLA
-    #                  already assigns pair-friendly layouts ({2,3,4,1,0}
-    #                  with N on the lane dim), so this is NOT 42x-padded as
-    #                  round 3 hypothesized — measured 30.6 ms/step at the
-    #                  (43,64) headline dispatch
-    #   'cf'         — channels-first (B, ..., N_dst, N_src): measured
-    #                  32.4 ms/step at (43,64), 18.5 vs 16.7 at (8,128) —
-    #                  LOSES; kept only for A/B measurement (PARITY.md r4)
-    message_layout: str = "pair_minor"
     # matmul compute dtype for the message-passing hot loop; residuals,
     # layernorms and all geometry stay float32
     compute_dtype: str = "bfloat16"
@@ -209,7 +199,6 @@ class MolGVPNet(nn.Module):
                 dst_feat_msg_reduction_factor=c.dst_feat_msg_reduction_factor,
                 dtype=c.dtype,
                 use_pallas=c.use_pallas,
-                message_layout=c.message_layout,
             )
             for _ in range(c.convs_per_update * c.n_molecule_updates)
         ]

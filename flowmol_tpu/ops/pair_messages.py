@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flowmol_tpu.nn.embedding import norm_no_nan, rbf
-from flowmol_tpu.parallel.pairshard import constrain_pairs, constrain_pairs_cf
+from flowmol_tpu.parallel.pairshard import constrain_pairs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,128 +185,11 @@ def xla_message_agg(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
     return agg_s, agg_v
 
 
-# --------------------------------------------------------------------------- #
-# channels-first layout (the round-4 sampler fix)
-# --------------------------------------------------------------------------- #
-# Round-3 profiling (tools/attribute_sampler.py, v5e) attributed ~75% of
-# sampler device time to pair-tensor ops whose per-op wall matched the HBM
-# cost of their buffers at ~42x the logical bytes: XLA materializes
-# (B, N, N, V, 3) intermediates with the trailing (V, 3) dims on the
-# (sublane=8, lane=128) tile, so the 3-wide component axis wastes 125/128
-# lanes of every tile.  The channels-first variant below computes the SAME
-# math with every pair intermediate shaped (B, ..., N_dst, N_src): the tiled
-# minor dims are the pair axes themselves (<= 2x padding at N=64, ~1x at
-# N>=128), vectors ride as (B, 3, V, i, j), and channel-mixing matmuls
-# contract major axes (XLA lowers them to [K, i*j]-shaped MXU matmuls).
-# Weights are shared with `xla_message_agg`; equality is pinned by
-# tests/test_pair_messages_cf.py.
-
-
-def _gvp_layer_cf(w, li, ncp, s, v, dt):
-    """One GVP over channels-first pair state.
-
-    s: (B, s_in, i, j); v: (B, 3, v_in, i, j).
-    """
-    vh = jnp.einsum("bcvij,vh->bchij", v, w[f"wh{li}"].astype(dt))
-    if ncp:
-        vcp = jnp.einsum("bcvij,vp->bcpij", v, w[f"wcp{li}"].astype(dt))
-        a, b = jnp.split(vcp, 2, axis=2)
-        vh = jnp.concatenate([vh, jnp.cross(a, b, axis=1)], axis=2)
-    vu = jnp.einsum("bchij,hu->bcuij", vh, w[f"wu{li}"].astype(dt))
-    sh = norm_no_nan(vh.astype(jnp.float32), axis=1).astype(dt)
-    y = jnp.einsum("bcij,co->boij", jnp.concatenate([s, sh], axis=1),
-                   w[f"k{li}"].astype(dt))
-    y = y + w[f"b{li}"].astype(dt)[None, :, None, None]
-    s_out = jax.nn.silu(y)
-    gate = jnp.einsum("bsij,su->buij", s_out, w[f"g{li}"].astype(dt))
-    gate = gate + w[f"gb{li}"].astype(dt)[None, :, None, None]
-    v_out = jax.nn.sigmoid(gate)[:, None] * vu
-    return s_out, v_out
-
-
-def _layer0_cf(w, spec, dt, sc, s_dst, vc, v_dst, x_diff, d_ef):
-    """Factored layer 0, channels-first.
-
-    sc: (B, N, s_msg) node scalars (source side, indexed by j);
-    vc: (B, N, v_msg, 3); x_diff: (B, 3, i, j) unit j->i displacement;
-    d_ef: (B, rbf+edge, i, j).
-    """
-    ncp = spec.n_cp_feats
-    wh = w["wh0"].astype(dt)
-    wh_x, wh_src = wh[0], wh[1:1 + spec.v_msg]
-    # (B,3,1,i,j) * (h0,) -> (B,3,h0,i,j)
-    vh = x_diff[:, :, None] * wh_x[None, None, :, None, None]
-    vh = vh + jnp.einsum("bjvc,vh->bchj", vc, wh_src)[:, :, :, None, :]
-    if spec.v_dst:
-        vh = vh + jnp.einsum("bivc,vh->bchi", v_dst,
-                             wh[1 + spec.v_msg:])[..., None]
-    if ncp:
-        wcp = w["wcp0"].astype(dt)
-        vcp = x_diff[:, :, None] * wcp[0][None, None, :, None, None]
-        vcp = vcp + jnp.einsum("bjvc,vp->bcpj", vc,
-                               wcp[1:1 + spec.v_msg])[:, :, :, None, :]
-        if spec.v_dst:
-            vcp = vcp + jnp.einsum("bivc,vp->bcpi", v_dst,
-                                   wcp[1 + spec.v_msg:])[..., None]
-        a, b = jnp.split(vcp, 2, axis=2)
-        vh = jnp.concatenate([vh, jnp.cross(a, b, axis=1)], axis=2)
-
-    vu = jnp.einsum("bchij,hu->bcuij", vh, w["wu0"].astype(dt))
-    sh = norm_no_nan(vh.astype(jnp.float32), axis=1).astype(dt)
-
-    y = jnp.einsum("bdij,do->boij", d_ef, w["k_edge"].astype(dt))
-    y = y + jnp.einsum("bhij,ho->boij", sh, w["k_sh"].astype(dt))
-    y = y + jnp.einsum("bjd,do->boj", sc,
-                       w["k_src"].astype(dt))[:, :, None, :]
-    if spec.s_dst:
-        y = y + jnp.einsum("bid,do->boi", s_dst,
-                           w["k_dst"].astype(dt))[..., None]
-    s0 = jax.nn.silu(y + w["b0"].astype(dt)[None, :, None, None])
-    gate = jnp.einsum("bsij,su->buij", s0, w["g0"].astype(dt))
-    gate = gate + w["gb0"].astype(dt)[None, :, None, None]
-    v0 = jax.nn.sigmoid(gate)[:, None] * vu
-    return s0, v0
-
-
-def xla_message_agg_cf(w: Dict, spec: MessageStackSpec, sc, s_dst, vc, v_dst,
-                       x, ef, pair_mask, dtype=None):
-    """Channels-first message stack + masked aggregation (same math and
-    weight tree as `xla_message_agg`, pair intermediates laid out
-    (B, ..., N_dst, N_src)).  Returns f32 (agg_s (B,N,S), agg_v (B,N,V,3))."""
-    dt = dtype or sc.dtype
-    xT = jnp.swapaxes(x, 1, 2)                       # (B,3,N)
-    diff = xT[:, :, None, :] - xT[:, :, :, None]     # (B,3,i,j) = x_j - x_i
-    dij = norm_no_nan(diff, axis=1, keepdims=True) + 1e-8
-    x_diff = constrain_pairs_cf((diff / dij).astype(dt))
-    # Gaussian RBF along a new channel axis (embedding.rbf semantics)
-    mu = jnp.linspace(0.0, spec.rbf_dmax, spec.rbf_dim)
-    sigma = spec.rbf_dmax / spec.rbf_dim
-    z = (dij - mu[None, :, None, None]) / sigma
-    d = jnp.exp(-z * z)
-    if spec.edge_feat_dim:
-        d_ef = jnp.concatenate(
-            [d.astype(dt), jnp.transpose(ef, (0, 3, 1, 2)).astype(dt)],
-            axis=1)
-    else:
-        d_ef = d.astype(dt)
-    d_ef = constrain_pairs_cf(d_ef)
-
-    s, v = _layer0_cf(w, spec, dt, sc.astype(dt),
-                      None if not spec.s_dst else s_dst.astype(dt),
-                      vc.astype(dt),
-                      None if not spec.v_dst else v_dst.astype(dt),
-                      x_diff, d_ef)
-    for li in range(1, len(spec.dims)):
-        s, v = _gvp_layer_cf(w, li, spec.n_cp_feats, s, v, dt)
-
-    # masked aggregation over sources j (the minor axis), f32 accumulate
-    pmf = pair_mask[:, None].astype(s.dtype)         # (B,1,i,j)
-    agg_s = jnp.sum(s * pmf, axis=-1, dtype=jnp.float32)        # (B,S,i)
-    agg_v = jnp.sum(v * pmf[:, None], axis=-1, dtype=jnp.float32)  # (B,3,V,i)
-    if spec.message_norm == "mean":
-        cnt = jnp.maximum(jnp.sum(pmf, axis=-1, dtype=jnp.float32), 1.0)
-        agg_s, agg_v = agg_s / cnt, agg_v / cnt[:, None]
-    elif spec.message_norm != "sum":
-        z = float(spec.message_norm)
-        agg_s, agg_v = agg_s / z, agg_v / z
-    return jnp.transpose(agg_s, (0, 2, 1)), jnp.transpose(agg_v, (0, 3, 2, 1))
+# A channels-first pair layout ((B, ..., N_dst, N_src)) was implemented and
+# A/B-measured in round 4 to test the round-3 hypothesis that XLA lane-pads
+# the pair-minor (B, N, N, V, 3) intermediates ~42x.  The hypothesis was
+# FALSE: XLA already assigns pair-friendly layouts ({2,3,4,1,0} with N on
+# the lane dim), and the CF variant measured SLOWER end-to-end (32.4 vs
+# 30.6 ms/step at the (43,64) headline dispatch; PARITY.md round 4).  The
+# variant was removed in round 5 (VERDICT r4 weak #5); see git history
+# (`xla_message_agg_cf`) if a future layout experiment wants its skeleton.

@@ -47,16 +47,3 @@ def constrain_pairs(t):
     if sh is None or t is None:
         return t
     return jax.lax.with_sharding_constraint(t, sh)
-
-
-def constrain_pairs_cf(t):
-    """Pair-sharding constraint for CHANNELS-FIRST pair tensors
-    ((B, ..., N_dst, N_src) layout — the destination-row axis is at -2
-    instead of 1).  Identity when no pair-sharding context is active."""
-    sh = _PAIR_SHARDING.get()
-    if sh is None or t is None:
-        return t
-    from jax.sharding import NamedSharding, PartitionSpec
-    data_ax, edge_ax = (list(sh.spec) + [None, None])[:2]
-    spec = PartitionSpec(data_ax, *([None] * (t.ndim - 3)), edge_ax, None)
-    return jax.lax.with_sharding_constraint(t, NamedSharding(sh.mesh, spec))

@@ -45,7 +45,9 @@ def main():
 
     if args.forward_only:
         cfg = model.cfg
-        km = cfg.vf.n_mask_feats
+        # mirror FlowMol.init_params (model.py): masked-prior configs carry
+        # one mask class even when n_mask_feats is 0
+        km = cfg.vf.n_mask_feats or int(cfg.cat_prior_masked)
         r = np.random.default_rng(0)
         x = jnp.asarray(r.standard_normal((B, N, 3)), jnp.float32)
         a = jax.nn.one_hot(r.integers(0, cfg.n_atom_types, (B, N)),
@@ -101,17 +103,24 @@ def main():
     self_us_i = next((idx[k] for k in idx
                       if "self" in k.lower() and "us" in k.lower()), None)
     if self_us_i is None:
-        self_us_i = next((idx[k] for k in idx
-                          if "self" in k.lower()), len(cols) - 1)
+        # fail loudly rather than attribute against a guessed column — a
+        # schema change would otherwise produce plausible-but-wrong output
+        raise SystemExit(
+            "hlo_stats gtable has no 'self ... (us)' column; columns were: "
+            f"{cols} — update the column discovery in this tool")
 
     ops = []
+    dropped = 0
     for r_ in rows:
         try:
             ops.append({"name": cell(r_, name_i),
                         "category": cell(r_, cat_i),
                         "self_us": float(cell(r_, self_us_i) or 0.0)})
         except Exception:
-            continue
+            dropped += 1
+    if dropped:
+        print(f"WARNING: {dropped}/{len(rows)} hlo_stats rows unparseable "
+              "and excluded from the attribution")
     ops.sort(key=lambda o: -o["self_us"])
     total_us = sum(o["self_us"] for o in ops)
 
