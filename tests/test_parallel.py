@@ -186,9 +186,9 @@ def test_packed_sample_mesh_matches_unsharded():
     # count equals the device count so sharded == unsharded exactly
     sizes = np.array([5, 3, 4, 4, 6, 2, 5, 3, 4, 4, 3, 5, 2, 6, 4, 4])
     ref = packed_sample(model, params, sizes, seed=5, n_timesteps=6,
-                        capacities=(8,), buckets=(8,))
+                        capacities=(8,))
     shd = packed_sample(model, params, sizes, seed=5, n_timesteps=6,
-                        capacities=(8,), buckets=(8,), mesh=mesh)
+                        capacities=(8,), mesh=mesh)
     assert len(ref) == len(shd) == len(sizes)
     for r, s, n in zip(ref, shd, sizes):
         assert r["x"].shape == s["x"].shape == (n, 3)
@@ -198,6 +198,6 @@ def test_packed_sample_mesh_matches_unsharded():
 
     # ragged row count (not a multiple of 8): rows pad to the device count
     shd9 = packed_sample(model, params, sizes[:9], seed=5, n_timesteps=6,
-                         capacities=(8,), buckets=(8,), mesh=mesh)
+                         capacities=(8,), mesh=mesh)
     assert len(shd9) == 9
     assert all(np.isfinite(m["x"]).all() for m in shd9)
