@@ -108,15 +108,74 @@ def _resume_runs():
 # ---------------------------------------------------------------------------
 # progressive result dict + watchdog: a JSON line is ALWAYS printed, even if
 # a compile blocks the main thread past the budget
-OUT = {
+BASE_OUT = {
     "metric": "geom_sampling_mols_per_sec_per_chip",
     "value": None,
     "unit": "molecules/sec/chip (250-step CTMC sampling, flowmol3 arch, "
             "packed-row dispatch)",
     "vs_baseline": None,
 }
+OUT = dict(BASE_OUT)
 _done = threading.Event()
 _printed = threading.Event()
+
+
+def _reset():
+    """Re-arm the budget clock and result dict (the resident agent runs the
+    protocol many times in one process)."""
+    global T0, BUDGET_S
+    T0 = time.time()
+    BUDGET_S = float(os.environ.get("FLOWMOL_BENCH_BUDGET_S", 450))
+    OUT.clear()
+    OUT.update(BASE_OUT)
+
+
+def run_bench() -> dict:
+    """Run the full protocol in-process and return the result dict.
+
+    Entry point for tools/tpu_agent.py: a resident warm-session process runs
+    this on request so the caller never pays the remote backend's
+    session-establishment stall (measured 84 s – 31 min for a fresh
+    process)."""
+    _reset()
+    main()
+    return dict(OUT)
+
+
+AGENT_SOCK = "/tmp/flowmol_tpu_agent.sock"
+
+
+def _try_agent(timeout_s: float):
+    """Ask a resident tools/tpu_agent.py (if any) to run the protocol in its
+    already-warm process.  Returns the result dict or None."""
+    import socket
+    if not os.path.exists(AGENT_SOCK):
+        return None
+    env = {k: v for k, v in os.environ.items()
+           if k.startswith("FLOWMOL_BENCH")}
+    # leave the agent headroom below our own watchdog
+    env["FLOWMOL_BENCH_BUDGET_S"] = str(max(timeout_s - 15, 60))
+    try:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.settimeout(10)
+        s.connect(AGENT_SOCK)
+        s.sendall(json.dumps({"cmd": "bench", "env": env}).encode() + b"\n")
+        s.settimeout(timeout_s)
+        buf = b""
+        while not buf.endswith(b"\n"):
+            d = s.recv(1 << 16)
+            if not d:
+                break
+            buf += d
+        s.close()
+        if not buf.strip():
+            return None
+        out = json.loads(buf)
+        out["measured_by"] = "resident warm-session agent (tools/tpu_agent.py)"
+        return out
+    except Exception as e:
+        _log(f"agent unavailable ({type(e).__name__}); running locally")
+        return None
 
 
 def _emit():
@@ -568,7 +627,12 @@ if __name__ == "__main__":
     atexit.register(_resume_runs)
     threading.Thread(target=_watchdog, daemon=True).start()
     try:
-        main()
+        agent_out = _try_agent(BUDGET_S - (time.time() - T0) - 10)
+        if agent_out is not None:
+            OUT.clear()
+            OUT.update(agent_out)
+        else:
+            main()
     finally:
         _done.set()
         _resume_runs()
