@@ -111,6 +111,35 @@ def main():
                     f"value={out.get('value')}")
                 conn.settimeout(60)
                 conn.sendall(json.dumps(out).encode() + b"\n")
+            elif cmd == "exec":
+                # run a repo tool inside the warm session (every fresh
+                # process pays the session stall; this is how profiling /
+                # calibration tools stay usable in bad backend weather).
+                # argv[0] is a path under the repo root.
+                import contextlib
+                import io
+                import runpy
+                argv = req.get("argv") or []
+                log(f"exec request: {argv}")
+                cap = io.StringIO()
+                old_argv = sys.argv
+                t0 = time.time()
+                try:
+                    sys.argv = argv
+                    with contextlib.redirect_stdout(cap):
+                        runpy.run_path(argv[0], run_name="__main__")
+                    res = {"ok": True, "stdout": cap.getvalue()}
+                except SystemExit as e_:
+                    res = {"ok": (e_.code in (0, None)),
+                           "stdout": cap.getvalue(), "exit": e_.code}
+                except Exception:
+                    res = {"ok": False, "stdout": cap.getvalue(),
+                           "error": traceback.format_exc()}
+                finally:
+                    sys.argv = old_argv
+                log(f"exec done in {time.time() - t0:.1f}s ok={res['ok']}")
+                conn.settimeout(60)
+                conn.sendall(json.dumps(res).encode() + b"\n")
             else:
                 conn.sendall(b'{"error": "unknown cmd"}\n')
         except Exception:
