@@ -433,7 +433,7 @@ def main():
             "measurable in this GPU-less image)")
 
     # ---- device-only throughput + MFU (repeat resident dispatches) --------
-    if remaining() > 40:
+    if remaining() > 3 * dt_packed + 30:
         REPS = 3
         dispatches = [(cache[("packed", g.shape[0], c, 1, None)],
                        jnp.asarray(g)) for g, c, _ in plan]

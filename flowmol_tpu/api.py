@@ -293,19 +293,6 @@ def plan_pack_tiers(sizes, capacities=PACK_CAPACITIES,
     return tiers
 
 
-def _mesh_safe_model(model: FlowMol, mesh) -> FlowMol:
-    """Disable the fused Pallas message kernel under a device mesh.
-
-    The kernel computes per-row pair tiles on a single device; GSPMD cannot
-    partition a pallas_call across the edge-sharded pair axis, so mesh
-    sampling always uses the XLA message path (identical math)."""
-    if mesh is None or not getattr(model.cfg.vf, "use_pallas", False):
-        return model
-    import dataclasses
-    return FlowMol(dataclasses.replace(
-        model.cfg, vf=dataclasses.replace(model.cfg.vf, use_pallas=False)))
-
-
 def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
                     n_timesteps: Optional[int] = None,
                     max_batch_size: int = 128,
@@ -338,7 +325,6 @@ def bucketed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
 
     from flowmol_tpu.parallel import mesh as pmesh
 
-    model = _mesh_safe_model(model, mesh)
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     # the cache key must distinguish meshes with identical device counts
     # (and mesh=None vs a 1-device mesh): a cached function is jitted with
@@ -456,7 +442,6 @@ def packed_sample(model: FlowMol, params, sizes: np.ndarray, seed: int = 0,
 
     from flowmol_tpu.parallel import mesh as pmesh
 
-    model = _mesh_safe_model(model, mesh)
     sizes = np.asarray(sizes, dtype=np.int64)
     tiers = plan_pack_tiers(sizes, capacities=capacities)
     n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1

@@ -299,7 +299,6 @@ class GVPConv(nn.Module):
     message_norm: Union[float, str] = 10
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, s, v, ef, x, x_diff, d, pair_mask, node_mask,
@@ -379,19 +378,9 @@ class GVPConv(nn.Module):
                 n_cp_feats=self.n_cp_feats, dims=tuple(dims),
                 message_norm=self.message_norm)
             wmsg = init_weights(self, spec, torch_uniform)
-            use_pallas = (self.use_pallas and deterministic
-                          and spec.message_norm != "mean"
-                          and s.shape[1] % 8 == 0
-                          and jax.default_backend() == "tpu")
-            if use_pallas:
-                from flowmol_tpu.ops.pallas_messages import pallas_message_agg
-                agg_s, agg_v = pallas_message_agg(
-                    wmsg, spec, sc, s_dst, vc, v_dst, x, ef, node_mask,
-                    dtype=dt)
-            else:
-                agg_s, agg_v = xla_message_agg(
-                    wmsg, spec, sc, s_dst, vc, v_dst, x, ef, pair_mask,
-                    dtype=dt)
+            agg_s, agg_v = xla_message_agg(
+                wmsg, spec, sc, s_dst, vc, v_dst, x, ef, pair_mask,
+                dtype=dt)
             return self._finish(s, v, agg_s, agg_v, node_valid,
                                 deterministic)
 

@@ -69,8 +69,6 @@ class VectorFieldConfig:
     use_dst_feats: bool = False
     dst_feat_msg_reduction_factor: float = 4
     remat: bool = True
-    # use the fused Pallas message kernel on deterministic (inference) passes
-    use_pallas: bool = False
     # matmul compute dtype for the message-passing hot loop; residuals,
     # layernorms and all geometry stay float32
     compute_dtype: str = "bfloat16"
@@ -198,7 +196,6 @@ class MolGVPNet(nn.Module):
                 use_dst_feats=c.use_dst_feats,
                 dst_feat_msg_reduction_factor=c.dst_feat_msg_reduction_factor,
                 dtype=c.dtype,
-                use_pallas=c.use_pallas,
             )
             for _ in range(c.convs_per_update * c.n_molecule_updates)
         ]

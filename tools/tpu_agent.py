@@ -137,7 +137,8 @@ def main():
                            "error": traceback.format_exc()}
                 finally:
                     sys.argv = old_argv
-                log(f"exec done in {time.time() - t0:.1f}s ok={res['ok']}")
+                log(f"exec done in {time.time() - t0:.1f}s ok={res['ok']}\n"
+                    + res.get("stdout", ""))  # log too: clients can die
                 conn.settimeout(60)
                 conn.sendall(json.dumps(res).encode() + b"\n")
             else:
