@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--steps", type=int, default=250)
     ap.add_argument("--shapes", type=str, default="64x56,128x56,256x56,128x96")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--s_msg", type=int, default=None,
+                    help="compressed messaging: s_message_dim override")
+    ap.add_argument("--v_msg", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -30,6 +33,10 @@ def main():
                                  read_config_file)
 
     config = read_config_file(args.config)
+    if args.s_msg:
+        config["vector_field"]["s_message_dim"] = args.s_msg
+    if args.v_msg:
+        config["vector_field"]["v_message_dim"] = args.v_msg
     model = model_from_config(config)
     params = model.init_params(jax.random.PRNGKey(0))
 
