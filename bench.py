@@ -566,6 +566,9 @@ def _bench_train_throughput(n_steps: int = 30):
     it = batches()
 
     # warmup: compile the bucket shapes the batcher emits, budget-aware
+    # (each train-step compile is tens of seconds; stop early when tight —
+    # later steps that hit an uncompiled shape just pay their compile inside
+    # the timed loop, which under-reports rather than overruns)
     seen = set()
     first = None
     m = None
@@ -573,16 +576,17 @@ def _bench_train_throughput(n_steps: int = 30):
         shape = tb.node_mask.shape
         if shape in seen:
             continue
-        if first is not None and remaining() < 60:
+        if first is not None and remaining() < 100:
             break
         seen.add(shape)
         tb_dev = jax.tree.map(jnp.asarray, tb)
         state, m = step(state, tb_dev, jax.random.PRNGKey(1), jnp.asarray(0.0))
         if first is None:
             first = tb_dev
-        if len(seen) >= 6:
+        if len(seen) >= 4:
             break
     float(np.asarray(m["total_train_loss"]))
+    _log(f"train warmup: {len(seen)} bucket shapes compiled")
 
     step_flops = None
     try:
@@ -604,6 +608,8 @@ def _bench_train_throughput(n_steps: int = 30):
     dt_dev_per_step = (time.time() - t0) / 10
 
     # production pipeline: fresh batches through iter_split (prefetch inside)
+    if remaining() < 60:
+        n_steps = max(8, n_steps // 3)
     t0 = time.time()
     n_samples = 0
     st = state
