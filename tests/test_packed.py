@@ -319,3 +319,26 @@ def test_packed_sample_continuous_param():
         assert mol["x"].shape == (s, 3)
         assert mol["e"].shape == (s, s)
         assert np.isfinite(mol["x"]).all()
+
+
+def test_plan_pack_tiers_covers_oversized():
+    """plan_pack_tiers is the single dispatch planner: molecules above every
+    configured capacity get ad-hoc mod-8 tiers instead of a bucket fallback
+    (round-5 dispatch unification)."""
+    from flowmol_tpu.api import plan_pack_tiers
+    sizes = [5, 30, 45, 60, 70, 90, 203, 210]
+    tiers = plan_pack_tiers(sizes, capacities=(16, 32, 48, 64))
+    seen = sorted(i for _, rows in tiers for row in rows for i, _ in row)
+    assert seen == list(range(len(sizes)))
+    for cap, rows in tiers:
+        for row in rows:
+            assert sum(s for _, s in row) <= cap
+    # every molecule above the largest configured capacity (64) gets an
+    # ad-hoc tier at its own mod-8 padded size
+    ad_hoc = [(cap, rows) for cap, rows in tiers if cap > 64]
+    assert {cap for cap, _ in ad_hoc} == {72, 96, 208, 216}
+    assert sorted(s for _, rows in ad_hoc for row in rows
+                  for _, s in row) == [70, 90, 203, 210]
+    # tiers are sorted largest capacity first
+    assert [c for c, _ in tiers] == sorted(
+        (c for c, _ in tiers), reverse=True)
