@@ -65,7 +65,8 @@ class Trainer:
                  monitor: Optional[str] = None,
                  seed: int = 0,
                  logger: Optional[MetricsLogger] = None,
-                 max_steps: Optional[int] = None):
+                 max_steps: Optional[int] = None,
+                 ckpt_every_steps: int = 500):
         self.model = model
         self.data = data
         self.run_dir = Path(run_dir)
@@ -114,6 +115,15 @@ class Trainer:
         self.logger = logger or MetricsLogger(self.run_dir)
         self.analyzer = SampleAnalyzer(processed_data_dir=processed_data_dir)
         self._sample_fns: Dict[int, object] = {}
+
+        # minimum steps between periodic checkpoints: small datasets make
+        # epochs tiny (qm9-synth: ~37 steps), and a per-epoch orbax save is
+        # pure overhead — and widens the window in which a SIGSTOPped run
+        # (tools/pause_runs.sh benchmark windows) can trip orbax's async
+        # barrier timeout.  The final save at max_steps/max_epochs is
+        # unconditional, so short dev runs still checkpoint.
+        self.ckpt_every_steps = ckpt_every_steps
+        self._last_ckpt_step = None
 
         self.epoch = 0
         self.global_step = 0
@@ -282,11 +292,19 @@ class Trainer:
                     break
 
             # orbax save is collective over processes for multi-host
-            # arrays (the manager coordinates; the primary writes)
-            self.ckpt.save(self.global_step, self.state,
-                           extra={"epoch": epoch + 1,
-                                  "global_step": self.global_step},
-                           metrics=self._last_val_metrics)
-            if self.max_steps and self.global_step >= self.max_steps:
+            # arrays (the manager coordinates; the primary writes).
+            # Periodic saves respect ckpt_every_steps; the end-of-training
+            # save below is unconditional.
+            done = ((self.max_steps and self.global_step >= self.max_steps)
+                    or epoch + 1 >= self.max_epochs)
+            if done or (self._last_ckpt_step is None
+                        or self.global_step - self._last_ckpt_step
+                        >= self.ckpt_every_steps):
+                self.ckpt.save(self.global_step, self.state,
+                               extra={"epoch": epoch + 1,
+                                      "global_step": self.global_step},
+                               metrics=self._last_val_metrics)
+                self._last_ckpt_step = self.global_step
+            if done:
                 break
         return self.state
