@@ -453,6 +453,11 @@ def main():
         if total_flops:
             OUT["sampler_mfu_pct"] = round(
                 100.0 * REPS * total_flops / dt_dev / peak, 2)
+        OUT["sampler_bound_note"] = (
+            "the sampler is HBM-bound, not MXU-bound: at saturated batch it "
+            "runs at ~85% of the memory roofline set by its materialized "
+            "pair intermediates (PARITY.md round 5), so MFU% is reported "
+            "for context, not as headroom")
         _log(f"device-only {OUT['device_mols_per_sec']} mols/s")
 
     # ---- legacy bucketed comparison (opt-in: costs ~11 extra compiles) ----
