@@ -65,6 +65,9 @@ def main():
 
     import bench
 
+    base_env = {k: v for k, v in os.environ.items()
+                if k.startswith("FLOWMOL_BENCH")}
+
     try:
         os.unlink(SOCK)
     except FileNotFoundError:
@@ -100,6 +103,13 @@ def main():
             if cmd == "ping":
                 conn.sendall(b'{"ok": true}\n')
             elif cmd == "bench":
+                # reset to the agent's own startup env first: a previous
+                # request's FLOWMOL_BENCH_* overrides must not leak into
+                # this one
+                for k in [k for k in os.environ
+                          if k.startswith("FLOWMOL_BENCH")]:
+                    del os.environ[k]
+                os.environ.update(base_env)
                 for k, v in (req.get("env") or {}).items():
                     if k.startswith("FLOWMOL_BENCH"):
                         os.environ[k] = str(v)
