@@ -44,8 +44,18 @@ class DirichletConditionalFlow:
 
     @classmethod
     def build(cls, K: int, alpha_min: float = 0.0, alpha_max: float = 34.0,
-              alpha_spacing: float = 0.01, n_bs: int = 1000
+              alpha_spacing: float = 0.1, n_bs: int = 512
               ) -> "DirichletConditionalFlow":
+        """Build the d(betainc)/d(alpha) table.
+
+        Table size matters beyond memory: the table is embedded in the
+        compiled sampler as an HLO constant, and the round-4 defaults
+        (0.01 spacing x 1000 b-points = 13.6 MB per modality) blew the
+        remote-compile payload up to a measured 17-MINUTE compile for a tiny
+        dirichlet sampler shape.  The compact default (0.1 x 512 = 0.7 MB)
+        with BILINEAR interpolation in `c_factor` (the old table used
+        nearest-alpha rows) has comparable accuracy: nearest at h=0.01 errs
+        ~(h/2)·f' while bilinear at h=0.1 errs ~(h^2/8)·f''."""
         if sps is None:
             raise RuntimeError("scipy required to build Dirichlet flow tables")
         alphas = np.arange(alpha_min, alpha_max + alpha_spacing, alpha_spacing)
@@ -74,12 +84,15 @@ class DirichletConditionalFlow:
         denom2 = jnp.power(b, alpha - 1.0)
         out = jnp.where(jnp.abs(denom2) > 1e-8, out2 / denom2, 0.0)
 
-        # nearest alpha row of the derivative table (device gather)
+        # bilinear over the derivative table: rows live at alpha midpoints
+        # m_i = alpha_min + (i + 0.5) * h (forward differences), interpolate
+        # linearly between the two bracketing rows (scalar-index gathers)
         deriv = jnp.asarray(self.deriv)
-        row_idx = jnp.clip(
-            jnp.round((alpha - self.alpha_min) / self.alpha_spacing).astype(
-                jnp.int32), 0, deriv.shape[0] - 1)
-        row = deriv[row_idx]
+        pos_a = (alpha - self.alpha_min) / self.alpha_spacing - 0.5
+        a0 = jnp.clip(jnp.floor(pos_a).astype(jnp.int32), 0,
+                      deriv.shape[0] - 2)
+        fa = jnp.clip(pos_a - a0, 0.0, 1.0)
+        row = deriv[a0] * (1.0 - fa) + deriv[a0 + 1] * fa
 
         # linear interpolation over the uniform b grid
         nb = self.bs.shape[0]

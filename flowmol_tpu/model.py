@@ -283,11 +283,15 @@ class FlowMol:
         if self._dirichlet_flows is None:
             from flowmol_tpu.fm.dirichlet import DirichletConditionalFlow
             w_max = self.cfg.dirichlet_w_max
-            self._dirichlet_flows = {
-                f: DirichletConditionalFlow.build(
-                    self.cfg.n_cats[f], alpha_min=0.0, alpha_max=w_max + 2)
-                for f in ("a", "c", "e")
-            }
+            by_k = {}  # modalities with equal K share one table (and its
+            #            single embedded HLO constant in the compiled sampler)
+            for f in ("a", "c", "e"):
+                k = self.cfg.n_cats[f]
+                if k not in by_k:
+                    by_k[k] = DirichletConditionalFlow.build(
+                        k, alpha_min=0.0, alpha_max=w_max + 2)
+            self._dirichlet_flows = {f: by_k[self.cfg.n_cats[f]]
+                                     for f in ("a", "c", "e")}
         return self._dirichlet_flows
 
     # ------------------------------------------------------------------ init
