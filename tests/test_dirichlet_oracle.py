@@ -48,3 +48,26 @@ def test_oracle_endpoint_transports_prior_to_target():
     # states stay on the simplex throughout (projection invariant)
     assert float(jnp.abs(x.sum(-1) - 1.0).max()) < 1e-5
     assert float(x.min()) >= 0.0
+
+
+def test_c_factor_compact_table_matches_round4_density():
+    """The compact bilinear table (0.1 alpha-spacing x 512 b-points, round 5
+    — shrunk 25x because the embedded HLO constant made remote compiles take
+    17 minutes) must reproduce the round-4-density table (0.01 x 1000,
+    reference dirflow.py defaults) to a few percent.  Both share the
+    reference's small-denominator zeroing guards, so this isolates pure
+    interpolation error."""
+    K = 5
+    fine = DirichletConditionalFlow.build(K=K, alpha_max=34.0,
+                                          alpha_spacing=0.01, n_bs=1000)
+    compact = DirichletConditionalFlow.build(K=K, alpha_max=34.0)
+
+    rng = np.random.default_rng(7)
+    b = rng.uniform(0.02, 0.9, size=512).astype(np.float32)
+    for alpha in (1.3, 4.7, 11.0, 25.0):
+        got = np.asarray(compact.c_factor(jnp.asarray(b), jnp.float32(alpha)))
+        want = np.asarray(fine.c_factor(jnp.asarray(b), jnp.float32(alpha)))
+        scale = np.maximum(np.abs(want), np.quantile(np.abs(want), 0.5))
+        rel = np.abs(got - want) / np.maximum(scale, 1e-6)
+        assert np.quantile(rel, 0.95) < 0.05, (alpha, np.quantile(rel, 0.95))
+        assert np.median(rel) < 0.02, (alpha, np.median(rel))
