@@ -43,7 +43,13 @@ class CheckpointManager:
         self.run_dir = Path(run_dir)
         self.ckpt_dir = (self.run_dir / "checkpoints").resolve()
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
-        opts = dict(max_to_keep=max_to_keep, create=True)
+        # async barrier timeout raised from orbax's 600 s default: a
+        # training SIGSTOPped through a benchmark window
+        # (tools/pause_runs.sh) longer than the timeout would otherwise
+        # crash with "Timeout waiting for key ... item_directory_creation"
+        # on resume (observed round 5)
+        opts = dict(max_to_keep=max_to_keep, create=True,
+                    async_options=ocp.options.AsyncOptions(timeout_secs=7200))
         if monitor:
             opts["best_fn"] = lambda m: m.get(monitor, float("inf"))
             opts["best_mode"] = mode
